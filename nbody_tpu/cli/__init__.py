@@ -1,0 +1,3 @@
+from nbody_tpu.cli.main import main
+
+__all__ = ["main"]

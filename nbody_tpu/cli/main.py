@@ -1,0 +1,209 @@
+"""CLI driver.
+
+Preserves the reference's positional contract
+``input start_time end_time delta_time output`` (serial/exhaustive.c:33-38,
+README.md:40-68) and its run banner / wall-time report
+(serial/exhaustive.c:55-68), while promoting the reference's compile-time
+switches (BIG_G, THETA, softening, RESULTS) and per-backend knobs
+(THREADS_NUM, grid/block sizes) to flags.
+
+Where the reference ships six binaries (algorithm x backend), this is one
+driver with ``--algo {exhaustive,barnes-hut}`` and
+``--backend {auto,jnp,pallas}``; ``--shard`` replaces OpenMP threads / CUDA
+grids as the scaling knob, sharding i-bodies over all visible TPU devices.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+from nbody_tpu.core import constants
+from nbody_tpu.core.types import Bodies, SimConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="nbody",
+        description="TPU-native N-body simulator "
+        "(reference CLI contract: input start end dt output)",
+    )
+    p.add_argument("input", help="input CSV: x, y, z, vx, vy, vz, mass per line")
+    p.add_argument("start_time", type=float)
+    p.add_argument("end_time", type=float)
+    p.add_argument("delta_time", type=float)
+    p.add_argument("output", help="trajectory CSV (id,x,y,z,mass per body per frame)")
+    p.add_argument(
+        "--algo",
+        choices=["exhaustive", "barnes-hut", "auto"],
+        default="exhaustive",
+        help="force algorithm (auto: barnes-hut above 32k bodies)",
+    )
+    p.add_argument(
+        "--backend",
+        choices=["auto", "jnp", "pallas"],
+        default="auto",
+        help="kernel backend (auto: pallas on TPU for large N)",
+    )
+    p.add_argument("--dtype", choices=["f32", "f64"], default="f32")
+    p.add_argument("--G", type=float, default=constants.BIG_G)
+    p.add_argument("--theta", type=float, default=constants.THETA)
+    p.add_argument("--softening2", type=float, default=constants.SOFTENING_SQ)
+    p.add_argument(
+        "--no-output",
+        action="store_true",
+        help="skip trajectory writing (the reference's non--DRESULTS build)",
+    )
+    p.add_argument(
+        "--write-every",
+        type=int,
+        default=1,
+        help="write every k-th frame (reference writes every step)",
+    )
+    p.add_argument(
+        "--shard",
+        action="store_true",
+        help="shard i-bodies over all visible devices (multi-chip)",
+    )
+    p.add_argument(
+        "--energy",
+        action="store_true",
+        help="print KE/PE before and after and the relative energy drift",
+    )
+    p.add_argument("--chunk-steps", type=int, default=64,
+                   help="scan steps per host-side output flush")
+    return p
+
+
+def build_force_fn(args, n: int):
+    """Pick the force implementation: algorithm x backend x sharding."""
+    import jax
+
+    algo = args.algo
+    if algo == "auto":
+        algo = "barnes-hut" if n > 32768 else "exhaustive"
+
+    backend = args.backend
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if backend == "auto":
+        backend = "pallas" if (on_tpu and n >= 4096) else "jnp"
+
+    if algo == "exhaustive":
+        if backend == "pallas":
+            from nbody_tpu.ops.pallas_exhaustive import pallas_accelerations
+
+            force = partial(
+                pallas_accelerations, G=args.G, softening_sq=args.softening2
+            )
+        else:
+            from nbody_tpu.ops.exhaustive import exhaustive_accelerations
+
+            force = partial(
+                exhaustive_accelerations, G=args.G, softening_sq=args.softening2
+            )
+    else:
+        from nbody_tpu.ops.barneshut import barneshut_accelerations
+
+        force = partial(
+            barneshut_accelerations,
+            G=args.G,
+            softening_sq=args.softening2,
+            theta=args.theta,
+        )
+
+    if args.shard:
+        from nbody_tpu.parallel.sharding import shard_force_fn
+
+        force = shard_force_fn(force)
+    return force, algo, backend
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.dtype == "f64":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+
+    from nbody_tpu.integrate.leapfrog import simulate
+    from nbody_tpu.io.csv import read_bodies, write_frames
+
+    arr = read_bodies(args.input)
+    dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
+    bodies = Bodies.from_numpy(arr, dtype=dtype)
+
+    # Reference semantics: dt parsed as C float, n_steps truncated float div
+    # (serial/exhaustive.c:50-52).
+    dt = SimConfig.c_float(args.delta_time)
+    n_steps = SimConfig.n_steps(args.start_time, args.end_time, args.delta_time)
+
+    force, algo, backend = build_force_fn(args, bodies.n)
+
+    # Reference banner (serial/exhaustive.c:55-57), extended with our config.
+    print(
+        f"Start: {args.start_time:f}, end: {args.end_time:f}, delta time: "
+        f"{dt:f}, time steps: {n_steps}, ents: {bodies.n}, G: {args.G:f}"
+    )
+    print(
+        f"Algorithm: {algo}, backend: {backend}, dtype: {args.dtype}, "
+        f"shard: {args.shard}"
+    )
+
+    if args.energy:
+        from nbody_tpu.diag.energy import get_energy
+
+        ke0, pe0 = get_energy(bodies.pos, bodies.vel, bodies.mass, G=args.G)
+        e0 = float(ke0) + float(pe0)
+        print(f"Initial energy: KE={float(ke0):.9g} PE={float(pe0):.9g} E={e0:.9g}")
+
+    writer = None
+    if not args.no_output:
+        mass_np = np.asarray(bodies.mass, dtype=np.float64)
+        stride = max(1, args.write_every)
+        state = {"count": 0}  # global frame index (0 = initial state)
+
+        def writer(chunk: np.ndarray) -> None:
+            idx = state["count"] + np.arange(chunk.shape[0])
+            state["count"] += chunk.shape[0]
+            sel = chunk[idx % stride == 0]
+            if len(sel):
+                write_frames(args.output, [sel], mass_np, append=True)
+
+        open(args.output, "w").close()
+
+    t0 = time.perf_counter()
+    bodies = simulate(
+        bodies, n_steps, dt, force,
+        frame_writer=writer, chunk_steps=args.chunk_steps,
+    )
+    elapsed = time.perf_counter() - t0
+
+    print(f"Completed. Output file: {args.output}")
+    print(f"Elapsed wall time: {elapsed:f} s")
+    pairs = float(n_steps + 1) * float(bodies.n) ** 2
+    if algo == "exhaustive" and elapsed > 0:
+        print(f"Pair interactions/sec: {pairs / elapsed:.3e}")
+
+    if args.energy:
+        from nbody_tpu.diag.energy import energy_drift, get_energy
+
+        ke1, pe1 = get_energy(bodies.pos, bodies.vel, bodies.mass, G=args.G)
+        e1 = float(ke1) + float(pe1)
+        drift = energy_drift(e1, e0)
+        print(
+            f"Final energy:   KE={float(ke1):.9g} PE={float(pe1):.9g} E={e1:.9g}"
+        )
+        print(f"Relative energy drift: {drift:.3e}")
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,114 @@
+"""KDK leapfrog (velocity-Verlet) integration as a jitted lax.scan.
+
+Step order matches the reference `propagation` exactly
+(serial/exhaustive.c:192-255):
+
+    a   = force(x)                  # once, before the loop   (:206)
+    repeat n_steps times:           #                          (:218)
+        v  += a * dt/2              # first half-kick          (:221-225)
+        x  += v * dt                # drift                    (:228-231)
+        a   = force(x)              # recompute                (:242)
+        v  += a * dt/2              # second half-kick         (:245-249)
+
+The per-step trajectory history the CUDA version keeps on-device
+(cuda/exhaustive.cu:116 allocates N*4*(n_steps+1) doubles) is the scan's
+stacked `ys` here.  For long runs that don't fit in HBM, `simulate` scans in
+chunks and hands each chunk's positions to a writer callback (the idiomatic
+equivalent of the reference's per-step fprintf under -DRESULTS).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from nbody_tpu.core.types import Bodies
+
+ForceFn = Callable[[jax.Array, jax.Array], jax.Array]  # (pos, mass) -> acc
+
+
+def _one_step(pos, vel, acc, mass, dt, force_fn):
+    half = dt * 0.5
+    vel = vel + acc * half
+    pos = pos + vel * dt
+    acc = force_fn(pos, mass)
+    vel = vel + acc * half
+    return pos, vel, acc
+
+
+@partial(jax.jit, static_argnames=("n_steps", "force_fn", "with_history"))
+def leapfrog_steps(
+    bodies: Bodies,
+    n_steps: int,
+    dt: float,
+    force_fn: ForceFn,
+    *,
+    acc0: Optional[jax.Array] = None,
+    with_history: bool = False,
+):
+    """Advance `bodies` by `n_steps` KDK steps.
+
+    Returns (bodies', acc') and, if with_history, the (n_steps, N, 3) stack
+    of post-drift positions (the rows the reference writes per step,
+    serial/exhaustive.c:233-238).  `acc0` carries the force from a previous
+    chunk so chunked runs are bit-identical to one long scan; when None it
+    is computed fresh (the reference's initial acceleration call, :206).
+    """
+    dtype = bodies.pos.dtype
+    dt = jnp.asarray(dt, dtype)
+    mass = bodies.mass
+    if acc0 is None:
+        acc0 = force_fn(bodies.pos, mass)
+
+    def step(carry, _):
+        pos, vel, acc = carry
+        pos, vel, acc = _one_step(pos, vel, acc, mass, dt, force_fn)
+        return (pos, vel, acc), (pos if with_history else None)
+
+    (pos, vel, acc), hist = lax.scan(
+        step, (bodies.pos, bodies.vel, acc0), None, length=n_steps
+    )
+    out = Bodies(pos, vel, mass)
+    if with_history:
+        return out, acc, hist
+    return out, acc
+
+
+def simulate(
+    bodies: Bodies,
+    n_steps: int,
+    dt: float,
+    force_fn: ForceFn,
+    *,
+    frame_writer: Optional[Callable[[np.ndarray], None]] = None,
+    chunk_steps: int = 64,
+) -> Bodies:
+    """Run a full simulation, optionally streaming trajectory frames.
+
+    When `frame_writer` is given it first receives the initial frame (the
+    reference writes the initial state before the loop,
+    serial/exhaustive.c:208-216) and then one (T, N, 3) chunk of post-drift
+    positions per scan chunk.
+    """
+    if frame_writer is not None:
+        frame_writer(np.asarray(bodies.pos)[None])
+
+    acc = None
+    done = 0
+    while done < n_steps:
+        t = min(chunk_steps, n_steps - done) if frame_writer else n_steps - done
+        if frame_writer is not None:
+            bodies, acc, hist = leapfrog_steps(
+                bodies, t, dt, force_fn, acc0=acc, with_history=True
+            )
+            frame_writer(np.asarray(hist))
+        else:
+            bodies, acc = leapfrog_steps(bodies, t, dt, force_fn, acc0=acc)
+        done += t
+    jax.block_until_ready(bodies.pos)
+    return bodies

@@ -1,0 +1,154 @@
+"""Tiled Pallas all-pairs gravity kernel.
+
+TPU re-architecture of the CUDA shared-memory scheme
+(cuda/exhaustive.cu:273-338: one thread per i-body, j-bodies streamed
+through a block-wide shared-memory tile with __syncthreads barriers).  On
+TPU the same dataflow becomes: an i-block of bodies resident in VMEM, a 2-D
+grid over (i-blocks, j-tiles), and the (BI, BJ) pair matrix evaluated on the
+VPU with the output block accumulated in VMEM across the j dimension of the
+grid.  Pallas's pipeline machinery double-buffers the j-tile HBM->VMEM
+streams automatically — the hand-rolled equivalent of the CUDA kernel's
+tile loop.
+
+Layouts: the i-side reads positions as (N, 4) [x y z Gm] so per-coordinate
+columns are (BI, 1) sublane vectors; the j-side reads the transpose (4, N)
+so coordinates are (1, BJ) lane vectors; their broadcast difference is the
+(BI, BJ) pair matrix with zero in-kernel transposes.
+
+Physics identical to nbody_tpu.ops.exhaustive (and the reference force
+kernels): softened inverse-cube weights, self-term zero by construction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nbody_tpu.core import constants
+
+
+def _kernel(pi_ref, pj_ref, out_ref, *, eps2: float, bj: int, nj_tiles: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    xi = pi_ref[:, 0:1]  # (BI, 1)
+    yi = pi_ref[:, 1:2]
+    zi = pi_ref[:, 2:3]
+
+    xj = pj_ref[0:1, :]  # (1, BJ)
+    yj = pj_ref[1:2, :]
+    zj = pj_ref[2:3, :]
+    gmj = pj_ref[3:4, :]
+
+    dx = xj - xi  # (BI, BJ)
+    dy = yj - yi
+    dz = zj - zi
+    r2 = dx * dx + dy * dy + dz * dz + eps2
+    inv_r = lax.rsqrt(r2)
+    w = gmj * (inv_r * inv_r * inv_r)  # (BI, BJ)
+
+    ax = jnp.sum(w * dx, axis=1, keepdims=True)  # (BI, 1)
+    ay = jnp.sum(w * dy, axis=1, keepdims=True)
+    az = jnp.sum(w * dz, axis=1, keepdims=True)
+    acc = jnp.concatenate([ax, ay, az, jnp.zeros_like(ax)], axis=1)  # (BI, 4)
+    out_ref[:] += acc
+
+
+def _pad_to(x, n, axis=0):
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, n - x.shape[axis])
+    return jnp.pad(x, pad)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("G", "softening_sq", "block_i", "block_j", "interpret"),
+)
+def pallas_rect_accelerations(
+    pos_i: jax.Array,
+    pos_j: jax.Array,
+    mass_j: jax.Array,
+    *,
+    G: float = constants.BIG_G,
+    softening_sq: float = constants.SOFTENING_SQ,
+    block_i: int = 256,
+    block_j: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """acc for each body in pos_i (Ni, 3) against all sources pos_j/mass_j.
+
+    The rectangular form is the multi-chip building block: each chip owns an
+    i-shard and streams the (all-gathered) j-side.  Returns (Ni, 3) f32.
+    """
+    ni, nj = pos_i.shape[0], pos_j.shape[0]
+    dtype = jnp.float32
+    pos_i = pos_i.astype(dtype)
+
+    ni_p = max(block_i, ((ni + block_i - 1) // block_i) * block_i)
+    nj_p = max(block_j, ((nj + block_j - 1) // block_j) * block_j)
+
+    # i-side (Ni, 4): x y z (pad col keeps sublane tiling happy)
+    pi = _pad_to(jnp.pad(pos_i, ((0, 0), (0, 1))), ni_p, axis=0)
+    # j-side (4, Nj): x y z Gm — padded sources have Gm = 0, hence inert.
+    gm = (jnp.asarray(G, dtype) * mass_j).astype(dtype)
+    pj = _pad_to(
+        jnp.concatenate([pos_j.astype(dtype).T, gm[None, :]], axis=0), nj_p, axis=1
+    )
+
+    grid = (ni_p // block_i, nj_p // block_j)
+
+    kernel = functools.partial(
+        _kernel, eps2=float(softening_sq), bj=block_j, nj_tiles=grid[1]
+    )
+    flops_per_pair = 20
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_i, 4), lambda i, j: (i, 0)),
+            pl.BlockSpec((4, block_j), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_i, 4), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((ni_p, 4), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_pair * ni_p * nj_p,
+            bytes_accessed=(ni_p * 4 + nj_p * 4 + ni_p * 4) * 4,
+            transcendentals=ni_p * nj_p,
+        ),
+        interpret=interpret,
+    )(pi, pj)
+    return out[:ni, :3]
+
+
+def pallas_accelerations(
+    pos: jax.Array,
+    mass: jax.Array,
+    *,
+    G: float = constants.BIG_G,
+    softening_sq: float = constants.SOFTENING_SQ,
+    block_i: int = 256,
+    block_j: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """Square all-pairs accelerations (ForceFn signature)."""
+    return pallas_rect_accelerations(
+        pos,
+        pos,
+        mass,
+        G=G,
+        softening_sq=softening_sq,
+        block_i=block_i,
+        block_j=block_j,
+        interpret=interpret,
+    )

@@ -1,0 +1,59 @@
+"""Test harness configuration.
+
+Multi-chip code paths are exercised on a virtual 8-device CPU mesh
+(SURVEY.md §4: the TPU analog of the reference's debug-build + diff
+methodology).  The env vars must be set before jax is imported anywhere, so
+this lives at conftest import time.
+"""
+
+import os
+
+# The axon sitecustomize registers the TPU plugin whenever
+# PALLAS_AXON_POOL_IPS is set and pins JAX_PLATFORMS=axon; clear both so the
+# suite runs on the virtual CPU mesh deterministically.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# fp64 available for parity oracles; f32 paths pass explicit dtypes.
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+
+
+@pytest.fixture(scope="session")
+def data_dir() -> str:
+    return DATA_DIR
+
+
+@pytest.fixture(scope="session")
+def bodies10() -> np.ndarray:
+    from nbody_tpu.io.csv import read_bodies
+
+    return read_bodies(os.path.join(DATA_DIR, "10_bodies.csv"))
+
+
+@pytest.fixture(scope="session")
+def bodies100() -> np.ndarray:
+    from nbody_tpu.io.csv import read_bodies
+
+    return read_bodies(os.path.join(DATA_DIR, "100_bodies_g1.csv"))
+
+
+def random_cloud(n: int, seed: int = 0) -> np.ndarray:
+    """Random body cloud matching the reference fixtures' distribution
+    (coords ~ +-2, masses 0.04-1.0; SURVEY.md §2.4)."""
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(-2.0, 2.0, size=(n, 3))
+    vel = rng.uniform(-1.0, 1.0, size=(n, 3))
+    mass = rng.uniform(0.04, 1.0, size=(n,))
+    return np.concatenate([pos, vel, mass[:, None]], axis=1)

@@ -1,0 +1,87 @@
+import os
+
+import numpy as np
+
+from conftest import DATA_DIR
+from nbody_tpu.cli.main import main
+from nbody_tpu.io.csv import read_trajectory
+
+
+def test_cli_end_to_end(tmp_path, capsys, bodies10):
+    out = tmp_path / "out.csv"
+    rc = main(
+        [
+            os.path.join(DATA_DIR, "10_bodies.csv"),
+            "0", "10", "0.1",
+            str(out),
+            "--dtype", "f64",
+            "--energy",
+        ]
+    )
+    assert rc == 0
+    captured = capsys.readouterr().out
+    # Reference banner fields (serial/exhaustive.c:55-57).
+    assert "time steps: 100, ents: 10, G: 1.000000" in captured
+    assert "Elapsed wall time:" in captured
+    assert "Relative energy drift:" in captured
+
+    rows, n = read_trajectory(out)
+    assert n == 10
+    assert rows.shape == (101 * 10, 5)  # initial frame + 100 steps
+    # Initial frame is the input positions, %lf-rounded.
+    np.testing.assert_allclose(
+        rows[:10, 1:4], bodies10[:, :3], atol=1.1e-6, rtol=0
+    )
+
+
+def test_cli_matches_reference_golden(tmp_path):
+    """Byte-level golden parity with the compiled reference binary's output
+    on the same run (fp64 + identical %lf formatting)."""
+    out = tmp_path / "out.csv"
+    main(
+        [
+            os.path.join(DATA_DIR, "10_bodies.csv"),
+            "0", "10", "0.1",
+            str(out),
+            "--dtype", "f64",
+        ]
+    )
+    golden = open(
+        os.path.join(DATA_DIR, "golden_exh_10bodies_0_10_0.1.csv")
+    ).read().splitlines()
+    ours = open(out).read().splitlines()
+    assert len(ours) == len(golden)
+    # Compare numerically row-by-row (bit-level float printing can differ in
+    # the last printed digit).
+    g = np.array([[float(v) for v in line.split(",")] for line in golden])
+    o = np.array([[float(v) for v in line.split(",")] for line in ours])
+    np.testing.assert_allclose(o, g, atol=2e-5, rtol=0)
+
+
+def test_cli_no_output(tmp_path, capsys):
+    out = tmp_path / "none.csv"
+    rc = main(
+        [
+            os.path.join(DATA_DIR, "10_bodies.csv"),
+            "0", "1", "0.1",
+            str(out),
+            "--no-output",
+        ]
+    )
+    assert rc == 0
+    assert not out.exists()
+
+
+def test_cli_write_every(tmp_path):
+    out = tmp_path / "out.csv"
+    main(
+        [
+            os.path.join(DATA_DIR, "10_bodies.csv"),
+            "0", "10", "0.1",
+            str(out),
+            "--write-every", "10",
+        ]
+    )
+    rows, n = read_trajectory(out)
+    # frames 0, 10, 20, ..., 100 -> 11 frames
+    assert rows.shape == (11 * 10, 5)
