@@ -93,7 +93,27 @@ def build_force_fn(args, n: int):
         backend = "pallas" if (on_tpu and n >= 4096) else "jnp"
 
     if algo == "exhaustive":
-        if backend == "pallas":
+        if args.shard:
+            from nbody_tpu.parallel.sharding import shard_force_fn
+
+            if backend == "pallas":
+                from nbody_tpu.ops.pallas_exhaustive import (
+                    pallas_rect_accelerations,
+                )
+
+                rect = partial(
+                    pallas_rect_accelerations,
+                    G=args.G,
+                    softening_sq=args.softening2,
+                )
+            else:
+                from nbody_tpu.ops.exhaustive import rect_accelerations
+
+                rect = partial(
+                    rect_accelerations, G=args.G, softening_sq=args.softening2
+                )
+            force = shard_force_fn(rect)
+        elif backend == "pallas":
             from nbody_tpu.ops.pallas_exhaustive import pallas_accelerations
 
             force = partial(
@@ -114,11 +134,12 @@ def build_force_fn(args, n: int):
             softening_sq=args.softening2,
             theta=args.theta,
         )
+        if args.shard:
+            from nbody_tpu.parallel.sharding import shard_force_fn  # noqa: F401
+            # Barnes-Hut sharding: replicated build + local traversal is
+            # wired inside barneshut_accelerations via shard=True.
+            force = partial(force, shard=True)
 
-    if args.shard:
-        from nbody_tpu.parallel.sharding import shard_force_fn
-
-        force = shard_force_fn(force)
     return force, algo, backend
 
 
@@ -144,7 +165,12 @@ def main(argv=None) -> int:
     dt = SimConfig.c_float(args.delta_time)
     n_steps = SimConfig.n_steps(args.start_time, args.end_time, args.delta_time)
 
+    n_real = bodies.n
     force, algo, backend = build_force_fn(args, bodies.n)
+    if args.shard:
+        from nbody_tpu.parallel.sharding import shard_bodies
+
+        bodies = shard_bodies(bodies)
 
     # Reference banner (serial/exhaustive.c:55-57), extended with our config.
     print(
@@ -165,11 +191,12 @@ def main(argv=None) -> int:
 
     writer = None
     if not args.no_output:
-        mass_np = np.asarray(bodies.mass, dtype=np.float64)
+        mass_np = np.asarray(bodies.mass, dtype=np.float64)[:n_real]
         stride = max(1, args.write_every)
         state = {"count": 0}  # global frame index (0 = initial state)
 
         def writer(chunk: np.ndarray) -> None:
+            chunk = chunk[:, :n_real]  # drop inert shard padding
             idx = state["count"] + np.arange(chunk.shape[0])
             state["count"] += chunk.shape[0]
             sel = chunk[idx % stride == 0]
@@ -184,6 +211,8 @@ def main(argv=None) -> int:
         frame_writer=writer, chunk_steps=args.chunk_steps,
     )
     elapsed = time.perf_counter() - t0
+    if bodies.n != n_real:
+        bodies = bodies.unpad(n_real)
 
     print(f"Completed. Output file: {args.output}")
     print(f"Elapsed wall time: {elapsed:f} s")

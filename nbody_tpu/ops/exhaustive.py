@@ -100,6 +100,39 @@ def _chunk_mxu(pos_i, pos, gm, pj_sq, softening_sq):
 
 
 @partial(jax.jit, static_argnames=("mode", "chunk", "G", "softening_sq"))
+def rect_accelerations(
+    pos_i: jax.Array,
+    pos_all: jax.Array,
+    mass_all: jax.Array,
+    *,
+    G: float = constants.BIG_G,
+    softening_sq: float = constants.SOFTENING_SQ,
+    mode: str = "auto",
+    chunk: int = 1024,
+) -> jax.Array:
+    """Accelerations of pos_i (Ni, 3) targets against all sources — the
+    rectangular building block the sharded path evaluates per chip."""
+    ni = pos_i.shape[0]
+    dtype = pos_i.dtype
+    gm = jnp.asarray(G, dtype) * mass_all
+    if mode == "auto":
+        mode = "direct" if ni * pos_all.shape[0] <= 2048 * 2048 else "mxu"
+    if mode == "direct":
+        return _chunk_direct(pos_i, pos_all, gm, softening_sq)
+
+    c = min(chunk, max(8, ni))
+    ni_p = ((ni + c - 1) // c) * c
+    pos_i_p = jnp.pad(pos_i, ((0, ni_p - ni), (0, 0)))
+    chunks = pos_i_p.reshape(ni_p // c, c, 3)
+    if mode == "mxu":
+        pj_sq = jnp.sum(pos_all * pos_all, axis=-1)
+        fn = lambda pc: _chunk_mxu(pc, pos_all, gm, pj_sq, softening_sq)
+    else:
+        fn = lambda pc: _chunk_direct(pc, pos_all, gm, softening_sq)
+    return lax.map(fn, chunks).reshape(ni_p, 3)[:ni]
+
+
+@partial(jax.jit, static_argnames=("mode", "chunk", "G", "softening_sq"))
 def exhaustive_accelerations(
     pos: jax.Array,
     mass: jax.Array,

@@ -32,13 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 from nbody_tpu.core import constants
 
 
-def _kernel(pi_ref, pj_ref, out_ref, *, eps2: float, bj: int, nj_tiles: int):
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
+def _pair_weights(pi_ref, pj_ref, eps2):
+    """The (BI, BJ) softened inverse-cube weight matrix and displacements."""
     xi = pi_ref[:, 0:1]  # (BI, 1)
     yi = pi_ref[:, 1:2]
     zi = pi_ref[:, 2:3]
@@ -54,12 +49,52 @@ def _kernel(pi_ref, pj_ref, out_ref, *, eps2: float, bj: int, nj_tiles: int):
     r2 = dx * dx + dy * dy + dz * dz + eps2
     inv_r = lax.rsqrt(r2)
     w = gmj * (inv_r * inv_r * inv_r)  # (BI, BJ)
+    return w, dx, dy, dz
 
+
+def _kernel(pi_ref, pj_ref, out_ref, *, eps2: float):
+    """VPU-only variant: three weighted lane reductions."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    w, dx, dy, dz = _pair_weights(pi_ref, pj_ref, eps2)
     ax = jnp.sum(w * dx, axis=1, keepdims=True)  # (BI, 1)
     ay = jnp.sum(w * dy, axis=1, keepdims=True)
     az = jnp.sum(w * dz, axis=1, keepdims=True)
     acc = jnp.concatenate([ax, ay, az, jnp.zeros_like(ax)], axis=1)  # (BI, 4)
     out_ref[:] += acc
+
+
+def _kernel_mxu(pi_ref, pj_ref, pjt_ref, out_ref, *, eps2: float):
+    """MXU variant: the weighted sums become one (BI,BJ)@(BJ,4) matmul.
+
+    pjt_ref columns are [x, y, z, 1], so
+        partial = W @ pjt  =  [sum w x_j, sum w y_j, sum w z_j, sum w]
+    and   acc   = partial[:, :3] - p_i * partial[:, 3].
+    The displacement/softening arithmetic stays on the VPU in exact form (no
+    |r|^2 expansion, so no cancellation); only the final j-contraction rides
+    the MXU.  This is the re-association the jnp 'mxu' mode uses
+    (nbody_tpu/ops/exhaustive.py), applied after exact r2.
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    w, _, _, _ = _pair_weights(pi_ref, pj_ref, eps2)
+    partial = jax.lax.dot_general(
+        w,
+        pjt_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (BI, 4)
+    pos_i = pi_ref[:, :]  # (BI, 4); col 3 is zero padding
+    out_ref[:] += partial - pos_i * partial[:, 3:4]
 
 
 def _pad_to(x, n, axis=0):
@@ -70,7 +105,9 @@ def _pad_to(x, n, axis=0):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("G", "softening_sq", "block_i", "block_j", "interpret"),
+    static_argnames=(
+        "G", "softening_sq", "block_i", "block_j", "use_mxu", "interpret"
+    ),
 )
 def pallas_rect_accelerations(
     pos_i: jax.Array,
@@ -79,8 +116,9 @@ def pallas_rect_accelerations(
     *,
     G: float = constants.BIG_G,
     softening_sq: float = constants.SOFTENING_SQ,
-    block_i: int = 256,
+    block_i: int = 1024,
     block_j: int = 1024,
+    use_mxu: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """acc for each body in pos_i (Ni, 3) against all sources pos_j/mass_j.
@@ -104,18 +142,33 @@ def pallas_rect_accelerations(
     )
 
     grid = (ni_p // block_i, nj_p // block_j)
+    eps2 = float(softening_sq)
 
-    kernel = functools.partial(
-        _kernel, eps2=float(softening_sq), bj=block_j, nj_tiles=grid[1]
-    )
+    in_specs = [
+        pl.BlockSpec((block_i, 4), lambda i, j: (i, 0)),
+        pl.BlockSpec((4, block_j), lambda i, j: (0, j)),
+    ]
+    operands = [pi, pj]
+    if use_mxu:
+        # (Nj, 4) with columns [x, y, z, 1] for the in-kernel matmul.
+        pjt = _pad_to(
+            jnp.concatenate(
+                [pos_j.astype(dtype), jnp.ones((nj, 1), dtype)], axis=1
+            ),
+            nj_p,
+            axis=0,
+        )
+        in_specs.append(pl.BlockSpec((block_j, 4), lambda i, j: (j, 0)))
+        operands.append(pjt)
+        kernel = functools.partial(_kernel_mxu, eps2=eps2)
+    else:
+        kernel = functools.partial(_kernel, eps2=eps2)
+
     flops_per_pair = 20
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_i, 4), lambda i, j: (i, 0)),
-            pl.BlockSpec((4, block_j), lambda i, j: (0, j)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((block_i, 4), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((ni_p, 4), dtype),
         compiler_params=pltpu.CompilerParams(
@@ -127,7 +180,7 @@ def pallas_rect_accelerations(
             transcendentals=ni_p * nj_p,
         ),
         interpret=interpret,
-    )(pi, pj)
+    )(*operands)
     return out[:ni, :3]
 
 
@@ -137,8 +190,9 @@ def pallas_accelerations(
     *,
     G: float = constants.BIG_G,
     softening_sq: float = constants.SOFTENING_SQ,
-    block_i: int = 256,
+    block_i: int = 1024,
     block_j: int = 1024,
+    use_mxu: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Square all-pairs accelerations (ForceFn signature)."""
@@ -150,5 +204,6 @@ def pallas_accelerations(
         softening_sq=softening_sq,
         block_i=block_i,
         block_j=block_j,
+        use_mxu=use_mxu,
         interpret=interpret,
     )

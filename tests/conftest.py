@@ -8,19 +8,18 @@ this lives at conftest import time.
 
 import os
 
-# The axon sitecustomize registers the TPU plugin whenever
-# PALLAS_AXON_POOL_IPS is set and pins JAX_PLATFORMS=axon; clear both so the
-# suite runs on the virtual CPU mesh deterministically.
+# The axon sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon baked into the config, so env edits here are too late —
+# override through the config API instead.  The suite runs on a virtual
+# 8-device CPU mesh so the shard_map/collective code paths are exercised
+# without TPU hardware (SURVEY.md §4).
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 # fp64 available for parity oracles; f32 paths pass explicit dtypes.
 jax.config.update("jax_enable_x64", True)
 
