@@ -22,6 +22,9 @@ REF_BEST_PAIRS_PER_SEC = 8.0e8  # exh_cuda 100k x 10 steps, tests_result.txt:13
 
 
 def main() -> None:
+    from nbody_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

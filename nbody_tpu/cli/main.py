@@ -76,6 +76,19 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--chunk-steps", type=int, default=64,
                    help="scan steps per host-side output flush")
+    p.add_argument(
+        "--checkpoint-every",
+        type=int,
+        default=0,
+        help="write a resumable (pos,vel,mass) checkpoint every k steps "
+        "(reference has no restart path; checkpoints use the input CSV "
+        "format so they are directly runnable)",
+    )
+    p.add_argument(
+        "--checkpoint",
+        default=None,
+        help="checkpoint file path (default: <output>.ckpt.csv)",
+    )
     return p
 
 
@@ -126,19 +139,23 @@ def build_force_fn(args, n: int):
                 exhaustive_accelerations, G=args.G, softening_sq=args.softening2
             )
     else:
-        from nbody_tpu.ops.barneshut import barneshut_accelerations
-
-        force = partial(
-            barneshut_accelerations,
-            G=args.G,
-            softening_sq=args.softening2,
-            theta=args.theta,
-        )
         if args.shard:
-            from nbody_tpu.parallel.sharding import shard_force_fn  # noqa: F401
-            # Barnes-Hut sharding: replicated build + local traversal is
-            # wired inside barneshut_accelerations via shard=True.
-            force = partial(force, shard=True)
+            from nbody_tpu.parallel.sharding import barneshut_shard_force_fn
+
+            force = barneshut_shard_force_fn(
+                G=args.G,
+                softening_sq=args.softening2,
+                theta=args.theta,
+            )
+        else:
+            from nbody_tpu.ops.barneshut import barneshut_accelerations
+
+            force = partial(
+                barneshut_accelerations,
+                G=args.G,
+                softening_sq=args.softening2,
+                theta=args.theta,
+            )
 
     return force, algo, backend
 
@@ -146,6 +163,9 @@ def build_force_fn(args, n: int):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    from nbody_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if args.dtype == "f64":
         import jax
 
@@ -170,7 +190,9 @@ def main(argv=None) -> int:
     if args.shard:
         from nbody_tpu.parallel.sharding import shard_bodies
 
-        bodies = shard_bodies(bodies)
+        # Barnes-Hut sharding assigns whole Morton groups per chip.
+        multiple = 256 if algo == "barnes-hut" else 1
+        bodies = shard_bodies(bodies, multiple=multiple)
 
     # Reference banner (serial/exhaustive.c:55-57), extended with our config.
     print(
@@ -205,10 +227,25 @@ def main(argv=None) -> int:
 
         open(args.output, "w").close()
 
+    checkpoint_fn = None
+    if args.checkpoint_every > 0:
+        from nbody_tpu.io.checkpoint import save_checkpoint
+
+        ckpt_path = args.checkpoint or (args.output + ".ckpt.csv")
+
+        def checkpoint_fn(b, step):
+            save_checkpoint(
+                ckpt_path,
+                b.unpad(n_real) if b.n != n_real else b,
+                step=step,
+                time=args.start_time + step * dt,
+            )
+
     t0 = time.perf_counter()
     bodies = simulate(
         bodies, n_steps, dt, force,
         frame_writer=writer, chunk_steps=args.chunk_steps,
+        checkpoint_every=args.checkpoint_every, checkpoint_fn=checkpoint_fn,
     )
     elapsed = time.perf_counter() - t0
     if bodies.n != n_real:

@@ -87,21 +87,28 @@ def simulate(
     *,
     frame_writer: Optional[Callable[[np.ndarray], None]] = None,
     chunk_steps: int = 64,
+    checkpoint_every: int = 0,
+    checkpoint_fn: Optional[Callable[[Bodies, int], None]] = None,
 ) -> Bodies:
     """Run a full simulation, optionally streaming trajectory frames.
 
     When `frame_writer` is given it first receives the initial frame (the
     reference writes the initial state before the loop,
     serial/exhaustive.c:208-216) and then one (T, N, 3) chunk of post-drift
-    positions per scan chunk.
+    positions per scan chunk.  `checkpoint_fn(bodies, step)` fires every
+    `checkpoint_every` steps (chunk boundaries are split to land exactly).
     """
     if frame_writer is not None:
         frame_writer(np.asarray(bodies.pos)[None])
 
     acc = None
     done = 0
+    chunked = frame_writer is not None or checkpoint_every > 0
     while done < n_steps:
-        t = min(chunk_steps, n_steps - done) if frame_writer else n_steps - done
+        t = min(chunk_steps, n_steps - done) if chunked else n_steps - done
+        if checkpoint_every > 0:
+            next_ckpt = ((done // checkpoint_every) + 1) * checkpoint_every
+            t = min(t, next_ckpt - done)
         if frame_writer is not None:
             bodies, acc, hist = leapfrog_steps(
                 bodies, t, dt, force_fn, acc0=acc, with_history=True
@@ -110,5 +117,11 @@ def simulate(
         else:
             bodies, acc = leapfrog_steps(bodies, t, dt, force_fn, acc0=acc)
         done += t
+        if (
+            checkpoint_every > 0
+            and checkpoint_fn is not None
+            and done % checkpoint_every == 0
+        ):
+            checkpoint_fn(bodies, done)
     jax.block_until_ready(bodies.pos)
     return bodies

@@ -1,0 +1,362 @@
+"""Barnes-Hut force assembly: Morton sort -> level tree -> group traversal
+-> dense group x interaction-list force evaluation.
+
+End-to-end TPU re-architecture of serial/barnes-hut.c /
+openmp/barnes-hut.c / cuda/barnes-hut.cu (see the module docstrings of
+nbody_tpu.ops.morton / bh_tree / bh_traverse for the phase-by-phase
+mapping).  The final phase evaluates, for every Morton group of bodies, the
+dense pairwise interaction against that group's accepted nodes — the same
+softened kernel as the exhaustive path, so a body's own leaf entry
+contributes exactly zero (displacement zero), preserving the reference's
+self-exclusion (serial/barnes-hut.c:411) without any masking.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nbody_tpu.core import constants
+from nbody_tpu.ops.bh_tree import build_tree
+from nbody_tpu.ops.bh_traverse import TraverseStats, traverse
+from nbody_tpu.ops.morton import morton_sort
+
+
+class BHStats(NamedTuple):
+    traverse: TraverseStats
+    list_capacity: int
+    frontier_capacity: int
+    range_capacity: int
+
+    def overflowed(self) -> bool:
+        return bool(
+            int(self.traverse.max_list_needed) > self.list_capacity
+            or int(self.traverse.max_frontier_needed) > self.frontier_capacity
+            or int(self.traverse.max_ranges_needed) > self.range_capacity
+        )
+
+
+# ---------------------------------------------------------------------------
+# Force evaluation: group bodies (B) x interaction list (M)
+# ---------------------------------------------------------------------------
+
+
+def _group_kernel(pg_ref, lists_ref, out_ref, *, eps2: float):
+    """One group block vs one j-tile of its interaction list.
+
+    pg_ref:    (1, B, 4)  group body positions [x y z 0]
+    lists_ref: (1, 4, BJ) list slice, rows [x y z Gm]
+    out_ref:   (1, B, 4)  accumulated accelerations
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    pg = pg_ref[0]  # (B, 4)
+    lj = lists_ref[0]  # (4, BJ)
+    xi, yi, zi = pg[:, 0:1], pg[:, 1:2], pg[:, 2:3]
+    xj, yj, zj, gmj = lj[0:1, :], lj[1:2, :], lj[2:3, :], lj[3:4, :]
+
+    dx = xj - xi  # (B, BJ)
+    dy = yj - yi
+    dz = zj - zi
+    r2 = dx * dx + dy * dy + dz * dz + eps2
+    inv_r = lax.rsqrt(r2)
+    w = gmj * (inv_r * inv_r * inv_r)
+
+    ax = jnp.sum(w * dx, axis=1, keepdims=True)
+    ay = jnp.sum(w * dy, axis=1, keepdims=True)
+    az = jnp.sum(w * dz, axis=1, keepdims=True)
+    out_ref[0] += jnp.concatenate([ax, ay, az, jnp.zeros_like(ax)], axis=1)
+
+
+def _eval_lists_pallas(pos_groups, lists, *, eps2, block_j, interpret):
+    """pos_groups (G, B, 3), lists (G, 4, M) -> acc (G, B, 3)."""
+    n_groups, b, _ = pos_groups.shape
+    m = lists.shape[2]
+    dtype = jnp.float32
+    pg = jnp.concatenate(
+        [pos_groups.astype(dtype), jnp.zeros((n_groups, b, 1), dtype)], axis=-1
+    )
+    bj = min(block_j, m)
+    grid = (n_groups, m // bj)
+    out = pl.pallas_call(
+        functools.partial(_group_kernel, eps2=float(eps2)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, b, 4), lambda g, j: (g, 0, 0)),
+            pl.BlockSpec((1, 4, bj), lambda g, j: (g, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, b, 4), lambda g, j: (g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_groups, b, 4), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=20 * n_groups * b * m,
+            bytes_accessed=(n_groups * b * 8 + n_groups * 4 * m) * 4,
+            transcendentals=n_groups * b * m,
+        ),
+        interpret=interpret,
+    )(pg, lists)
+    return out[:, :, :3]
+
+
+def _eval_lists_jnp(pos_groups, lists, *, eps2, chunk_groups=8):
+    """Pure-jnp fallback (CPU tests / parity)."""
+    n_groups, b, _ = pos_groups.shape
+    dtype = pos_groups.dtype
+    gc = min(chunk_groups, n_groups)
+    n_pad = ((n_groups + gc - 1) // gc) * gc
+    pg = jnp.pad(pos_groups, ((0, n_pad - n_groups), (0, 0), (0, 0)))
+    lv = jnp.pad(lists, ((0, n_pad - n_groups), (0, 0), (0, 0))).astype(dtype)
+
+    def chunk(args):
+        p, l = args  # (gc, B, 3), (gc, 4, M)
+        d = l[:, None, :3, :] - p[..., None]  # (gc, B, 3, M)
+        r2 = jnp.sum(d * d, axis=2) + jnp.asarray(eps2, dtype)  # (gc, B, M)
+        inv_r = lax.rsqrt(r2) if dtype == jnp.float32 else r2 ** -0.5
+        w = l[:, None, 3, :] * (inv_r * inv_r * inv_r)
+        return jnp.einsum("gbm,gbdm->gbd", w, d)
+
+    acc = lax.map(
+        chunk, (pg.reshape(-1, gc, b, 3), lv.reshape(-1, gc, 4, lv.shape[2]))
+    )
+    return acc.reshape(n_pad, b, 3)[:n_groups]
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline
+# ---------------------------------------------------------------------------
+
+
+_FAR = 1.0e18  # empty-group sentinel box: far away -> root accepted at once
+
+
+def _prepare(
+    pos,
+    mass,
+    depth: int,
+    group_size: int,
+    split_level: int = 3,
+    groups_multiple: int = 1,
+):
+    """Morton-sort, build the level tree, and form *cell-aligned* body
+    groups with their AABBs.  Shared by the single-chip and sharded paths.
+
+    Groups are chunks of <= group_size consecutive sorted bodies that never
+    cross a level-`split_level` cell boundary.  Naive fixed-stride chunks
+    can straddle coarse cell boundaries — a chunk whose Morton range hops
+    across the root's center plane has a bounding box covering most of the
+    domain, and its traversal frontier degenerates toward O(N).  Aligning
+    chunks to coarse cells bounds every group's box by one coarse cell
+    (the same reason the CUDA version sorts bodies before its warp-shared
+    traversal, cuda/barnes-hut.cu:459-488 — warp neighbors must need
+    similar tree paths).
+
+    Returns (n_pad, perm, levels, border, group_idx, group_valid, pg, lo, hi):
+      group_idx   (G, B) indices into the sorted body array (clipped)
+      group_valid (G, B) slot-occupancy mask
+      pg          (G, B, 3) gathered group positions (pad slots repeat a
+                  real body, keeping boxes tight)
+    """
+    n = pos.shape[0]
+    b = group_size
+    perm, keys, border = morton_sort(pos, depth)
+    pos_s = pos[perm]
+    mass_s = mass[perm]
+    keys_s = keys[perm]
+
+    levels = build_tree(pos_s, mass_s, keys_s, depth)
+
+    # --- cell-aligned grouping ------------------------------------------
+    sl = min(split_level, depth)
+    cell = keys_s >> (3 * (depth - sl))  # coarse cell per sorted body
+    first_in_cell = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), cell[1:] != cell[:-1]]
+    )
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # index of the first body of this body's cell, via running maximum
+    cell_start = jax.lax.cummax(jnp.where(first_in_cell, idx, 0))
+    offset_in_cell = idx - cell_start
+    new_group = first_in_cell | (offset_in_cell % b == 0)
+    gid = jnp.cumsum(new_group.astype(jnp.int32)) - 1
+
+    # static capacity: every cell adds at most one partial chunk
+    g_max = n // b + min(8**sl, n) + 1
+    g_max = ((g_max + groups_multiple - 1) // groups_multiple) * groups_multiple
+    gstart = jax.ops.segment_min(idx, gid, num_segments=g_max)
+    gcount = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), gid, num_segments=g_max)
+    gstart = jnp.where(gcount > 0, gstart, 0)
+
+    slots = jnp.arange(b, dtype=jnp.int32)[None, :]
+    group_valid = slots < gcount[:, None]  # (G, B)
+    group_idx = jnp.clip(gstart[:, None] + slots, 0, n - 1)
+    pg = pos_s[group_idx]  # (G, B, 3); pad slots repeat real bodies
+    # Pad slots repeat the clipped body so boxes stay tight for real
+    # groups; empty groups get a far-away box so the root is accepted
+    # immediately and their traversal terminates at level 0.
+    empty = (gcount == 0)[:, None]
+    lo = jnp.where(empty, _FAR, jnp.min(pg, axis=1))
+    hi = jnp.where(empty, _FAR, jnp.max(pg, axis=1))
+    return (
+        n, perm, levels, border, pos_s, mass_s, group_idx, group_valid, pg, lo, hi
+    )
+
+
+def _forces_for_groups(
+    levels,
+    border,
+    pos_sorted,
+    gm_sorted,
+    pg,
+    lo,
+    hi,
+    *,
+    G,
+    softening_sq,
+    theta,
+    leaf_cap,
+    frontier_size,
+    range_size,
+    list_size,
+    backend,
+    interpret,
+):
+    """Traverse + evaluate a (slice of) groups; returns ((Gs,B,3), stats)."""
+    dtype = pg.dtype
+    lists, lengths, tstats = traverse(
+        levels,
+        border.astype(dtype),
+        lo,
+        hi,
+        pos_sorted,
+        gm_sorted,
+        G_const=G,
+        theta=theta,
+        leaf_cap=leaf_cap,
+        frontier_size=frontier_size,
+        range_size=range_size,
+        list_size=list_size,
+    )
+    if backend == "auto":
+        backend = "jnp" if jax.default_backend() == "cpu" else "pallas"
+    if backend == "pallas":
+        acc_g = _eval_lists_pallas(
+            pg, lists, eps2=softening_sq, block_j=1024, interpret=interpret
+        )
+    else:
+        acc_g = _eval_lists_jnp(pg, lists.astype(dtype), eps2=softening_sq)
+    return acc_g.astype(dtype), tstats
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "G",
+        "softening_sq",
+        "theta",
+        "depth",
+        "group_size",
+        "leaf_cap",
+        "frontier_size",
+        "range_size",
+        "list_size",
+        "backend",
+        "interpret",
+        "return_stats",
+    ),
+)
+def barneshut_accelerations(
+    pos: jax.Array,
+    mass: jax.Array,
+    *,
+    G: float = constants.BIG_G,
+    softening_sq: float = constants.SOFTENING_SQ,
+    theta: float = constants.THETA,
+    depth: int = 9,
+    group_size: int = 256,
+    leaf_cap: int = 16,
+    frontier_size: int = 1024,
+    range_size: int = 1024,
+    list_size: int = 4096,
+    backend: str = "auto",
+    interpret: bool = False,
+    return_stats: bool = False,
+):
+    """Barnes-Hut accelerations (ForceFn signature).
+
+    Capacities are static; if a run exceeds them the returned stats (ask
+    with return_stats=True) report the required sizes — check_capacities()
+    wraps that into a fail-fast probe.
+    """
+    n = pos.shape[0]
+    dtype = pos.dtype
+
+    (_, perm, levels, border, pos_s, mass_s, group_idx, group_valid,
+     pg, lo, hi) = _prepare(pos, mass, depth, group_size)
+    gm_s = jnp.asarray(G, dtype) * mass_s
+    acc_g, tstats = _forces_for_groups(
+        levels,
+        border,
+        pos_s,
+        gm_s,
+        pg,
+        lo,
+        hi,
+        G=G,
+        softening_sq=softening_sq,
+        theta=theta,
+        leaf_cap=leaf_cap,
+        frontier_size=frontier_size,
+        range_size=range_size,
+        list_size=list_size,
+        backend=backend,
+        interpret=interpret,
+    )
+    # Scatter (group, slot) accelerations back: sorted order, then inverse
+    # of the Morton permutation.
+    dest = jnp.where(group_valid, group_idx, n)  # n -> dropped
+    acc_s = (
+        jnp.zeros((n, 3), dtype)
+        .at[dest.reshape(-1)]
+        .set(acc_g.reshape(-1, 3).astype(dtype), mode="drop")
+    )
+    acc = jnp.zeros((n, 3), dtype).at[perm].set(acc_s)
+
+    if return_stats:
+        stats = BHStats(
+            traverse=tstats,
+            list_capacity=list_size,
+            frontier_capacity=frontier_size,
+            range_capacity=range_size,
+        )
+        return acc, stats
+    return acc
+
+
+def check_capacities(pos, mass, **kw) -> BHStats:
+    """Run one traversal and fail fast if capacities overflowed — the
+    TPU-native analog of the reference's node-pool exhaustion abort
+    (openmp/barnes-hut.c:158-160)."""
+    _, stats = barneshut_accelerations(pos, mass, return_stats=True, **kw)
+    if stats.overflowed():
+        raise RuntimeError(
+            "Barnes-Hut capacity overflow: "
+            f"need list={int(stats.traverse.max_list_needed)} "
+            f"(have {stats.list_capacity}), "
+            f"frontier={int(stats.traverse.max_frontier_needed)} "
+            f"(have {stats.frontier_capacity}), "
+            f"ranges={int(stats.traverse.max_ranges_needed)} "
+            f"(have {stats.range_capacity}); rerun with larger "
+            "list_size/frontier_size/range_size"
+        )
+    return stats

@@ -47,12 +47,14 @@ def default_rect_fn(**kw) -> RectForceFn:
     return partial(pallas_rect_accelerations, **kw)
 
 
-def shard_bodies(bodies: Bodies, mesh=None) -> Bodies:
-    """Pad N to a multiple of the mesh size and place state sharded on
-    axis 0 (zero-mass padding is inert; core/types.py)."""
+def shard_bodies(bodies: Bodies, mesh=None, multiple: int = 1) -> Bodies:
+    """Pad N to a multiple of (mesh size * multiple) and place state sharded
+    on axis 0 (zero-mass padding is inert; core/types.py).  Pass
+    multiple=group_size for the sharded Barnes-Hut path, which needs whole
+    Morton groups per chip."""
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
-    bodies = bodies.pad(n_dev)
+    bodies = bodies.pad(n_dev * multiple)
     sh3 = NamedSharding(mesh, P(BODY_AXIS, None))
     sh1 = NamedSharding(mesh, P(BODY_AXIS))
     return Bodies(
@@ -81,11 +83,99 @@ def shard_force_fn(
         mass_all = lax.all_gather(mass_l, axis_name, axis=0, tiled=True)
         return rect_fn(pos_l, pos_all, mass_all)
 
-    return jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(axis_name, None), P(axis_name)),
-        out_specs=P(axis_name, None),
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis_name, None), P(axis_name)),
+            out_specs=P(axis_name, None),
+        )
+    )
+
+
+def barneshut_shard_force_fn(
+    mesh=None,
+    axis_name: str = BODY_AXIS,
+    *,
+    G: float = constants.BIG_G,
+    softening_sq: float = constants.SOFTENING_SQ,
+    theta: float = constants.THETA,
+    depth: int = 9,
+    group_size: int = 256,
+    leaf_cap: int = 16,
+    frontier_size: int = 1024,
+    range_size: int = 1024,
+    list_size: int = 4096,
+    backend: str = "auto",
+    interpret: bool = False,
+):
+    """Sharded Barnes-Hut ForceFn: (pos, mass) sharded on axis 0 -> acc.
+
+    Round-1 multi-chip strategy (SURVEY.md §7 "hard parts" item 5): the
+    tree is small relative to the force work, so every chip all_gathers
+    positions over ICI and builds the full Morton tree redundantly
+    (replicated build — the analog of the reference rebuilding the whole
+    tree every step, serial/barnes-hut.c:496-500), then traverses and
+    evaluates only its own contiguous slice of Morton groups.  The
+    per-chip sorted acceleration slices are all_gathered and scattered
+    back to the original body order.
+
+    Requires the sharded N to be a multiple of group_size * n_devices
+    (shard_bodies + group-size-aligned padding handles this upstream).
+    """
+    from nbody_tpu.ops.barneshut import _forces_for_groups, _prepare
+
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+
+    def local(pos_l, mass_l):
+        dtype = pos_l.dtype
+        pos = lax.all_gather(pos_l, axis_name, axis=0, tiled=True)
+        mass = lax.all_gather(mass_l, axis_name, axis=0, tiled=True)
+        n = pos.shape[0]
+        (_, perm, levels, border, pos_s, mass_s, group_idx, group_valid,
+         pg, lo, hi) = _prepare(pos, mass, depth, group_size, groups_multiple=n_dev)
+        gm_s = jnp.asarray(G, dtype) * mass_s
+        g_per_dev = pg.shape[0] // n_dev
+        k = lax.axis_index(axis_name)
+        sl = lambda x: lax.dynamic_slice_in_dim(x, k * g_per_dev, g_per_dev, 0)
+        acc_slice, _ = _forces_for_groups(
+            levels,
+            border,
+            pos_s,
+            gm_s,
+            sl(pg),
+            sl(lo),
+            sl(hi),
+            G=G,
+            softening_sq=softening_sq,
+            theta=theta,
+            leaf_cap=leaf_cap,
+            frontier_size=frontier_size,
+            range_size=range_size,
+            list_size=list_size,
+            backend=backend,
+            interpret=interpret,
+        )
+        # gather every chip's group-slice accelerations, then scatter
+        # (group, slot) -> sorted body -> original order, locally.
+        acc_groups = lax.all_gather(acc_slice, axis_name, axis=0, tiled=True)
+        dest = jnp.where(group_valid, group_idx, n)  # n -> dropped
+        acc_sorted = (
+            jnp.zeros((n, 3), dtype)
+            .at[dest.reshape(-1)]
+            .set(acc_groups.reshape(-1, 3).astype(dtype), mode="drop")
+        )
+        acc = jnp.zeros((n, 3), dtype).at[perm].set(acc_sorted)
+        return lax.dynamic_slice_in_dim(acc, k * (n // n_dev), n // n_dev, 0)
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis_name, None), P(axis_name)),
+            out_specs=P(axis_name, None),
+        )
     )
 
 
@@ -113,9 +203,11 @@ def sharded_energy(
         pe = lax.psum(pe_l, axis_name) * jnp.asarray(0.5 * G, dtype)
         return ke.reshape(()), pe.reshape(())
 
-    return jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(axis_name, None), P(axis_name, None), P(axis_name)),
-        out_specs=(P(), P()),
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis_name, None), P(axis_name, None), P(axis_name)),
+            out_specs=(P(), P()),
+        )
     )

@@ -22,6 +22,11 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 # fp64 available for parity oracles; f32 paths pass explicit dtypes.
 jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache: the Barnes-Hut traversal graphs are large,
+# caching keeps repeated suite runs fast.
+os.makedirs("/tmp/nbody_tpu_xla_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/nbody_tpu_xla_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

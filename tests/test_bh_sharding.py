@@ -1,0 +1,52 @@
+"""Sharded Barnes-Hut parity on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import random_cloud
+from nbody_tpu.core.types import Bodies
+from nbody_tpu.ops.barneshut import barneshut_accelerations
+from nbody_tpu.parallel.mesh import make_mesh
+from nbody_tpu.parallel.sharding import barneshut_shard_force_fn, shard_bodies
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(jax.devices()[:8])
+
+
+KW = dict(depth=6, group_size=32, frontier_size=512, list_size=1024)
+
+
+def test_sharded_bh_matches_single_device(mesh):
+    arr = random_cloud(8 * 32 * 4, seed=41)  # 1024 bodies
+    pos = jnp.asarray(arr[:, :3], jnp.float32)
+    mass = jnp.asarray(arr[:, 6], jnp.float32)
+    want = np.asarray(barneshut_accelerations(pos, mass, backend="jnp", **KW))
+    force = barneshut_shard_force_fn(mesh=mesh, backend="jnp", **KW)
+    got = np.asarray(force(pos, mass))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_bh_with_padding(mesh):
+    arr = random_cloud(700, seed=43)  # not divisible by 8*32
+    b = shard_bodies(
+        Bodies.from_numpy(arr, dtype=jnp.float32), mesh=mesh, multiple=32
+    )
+    assert b.n == 768
+    force = barneshut_shard_force_fn(mesh=mesh, backend="jnp", **KW)
+    got = np.asarray(force(b.pos, b.mass))[:700]
+    want = np.asarray(
+        barneshut_accelerations(
+            jnp.asarray(arr[:, :3], jnp.float32),
+            jnp.asarray(arr[:, 6], jnp.float32),
+            backend="jnp",
+            **KW,
+        )
+    )
+    # the zero-mass padding bodies join the last Morton group, shifting its
+    # box slightly -> theta-level differences only
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=5e-3 * scale, rtol=0.02)
