@@ -14,6 +14,7 @@ self-exclusion (serial/barnes-hut.c:411) without any masking.
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple
 
 import jax
@@ -25,6 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 from nbody_tpu.core import constants
 from nbody_tpu.ops.bh_tree import build_tree
 from nbody_tpu.ops.bh_traverse import TraverseStats, traverse
+from nbody_tpu.ops.bh_traverse_flat import traverse_flat
 from nbody_tpu.ops.morton import morton_sort
 
 
@@ -141,12 +143,36 @@ def _eval_lists_jnp(pos_groups, lists, *, eps2, chunk_groups=8):
 _FAR = 1.0e18  # empty-group sentinel box: far away -> root accepted at once
 
 
+def effective_depth(n: int, depth: int, leaf_cap: int, group_size: int) -> int:
+    """Cap the tree depth at the level where cells hold ~leaf_cap bodies
+    (plus one): deeper levels are unreachable once expansion stops at
+    count <= leaf_cap, and every level costs traversal work.  Never go
+    shallower than split_level + 3: the terminal-cell COM fallback is only
+    harmless when terminal cells are far smaller than group cells
+    (otherwise clustered/coincident bodies get grossly COM-approximated)."""
+    useful = math.ceil(math.log(max(n / max(leaf_cap, 1), 2.0), 8)) + 1
+    sl = max(0, math.ceil(math.log(max(n / group_size, 1.0), 8)))
+    return max(3, sl + 3, min(depth, useful))
+
+
+def effective_leaf_cap(n: int, group_size: int, leaf_cap: int) -> int:
+    """Auto leaf_cap (when leaf_cap == 0): ~2x the mean occupancy one
+    level below the group-split level, so expansion stops almost
+    immediately below the group granularity and the traversal frontier
+    stays small.  Clamped to [16, 64]."""
+    if leaf_cap > 0:
+        return leaf_cap
+    sl = max(0, math.ceil(math.log(max(n / group_size, 1.0), 8)))
+    occ = n / (8 ** (sl + 1))
+    return int(min(32, max(16, 2 * occ)))
+
+
 def _prepare(
     pos,
     mass,
     depth: int,
     group_size: int,
-    split_level: int = 3,
+    split_level: int | None = None,
     groups_multiple: int = 1,
 ):
     """Morton-sort, build the level tree, and form *cell-aligned* body
@@ -178,6 +204,12 @@ def _prepare(
     levels = build_tree(pos_s, mass_s, keys_s, depth)
 
     # --- cell-aligned grouping ------------------------------------------
+    if split_level is None:
+        # split at the first level whose cells hold <= ~group_size bodies:
+        # group boxes are then bounded by one such cell.  ceil (never
+        # round down) — over-coarse cells make group boxes huge and the
+        # traversal near field degenerates toward O(N) per group.
+        split_level = max(0, math.ceil(math.log(max(n / b, 1.0), 8)))
     sl = min(split_level, depth)
     cell = keys_s >> (3 * (depth - sl))  # coarse cell per sorted body
     first_in_cell = jnp.concatenate(
@@ -199,11 +231,17 @@ def _prepare(
 
     slots = jnp.arange(b, dtype=jnp.int32)[None, :]
     group_valid = slots < gcount[:, None]  # (G, B)
-    group_idx = jnp.clip(gstart[:, None] + slots, 0, n - 1)
-    pg = pos_s[group_idx]  # (G, B, 3); pad slots repeat real bodies
-    # Pad slots repeat the clipped body so boxes stay tight for real
-    # groups; empty groups get a far-away box so the root is accepted
-    # immediately and their traversal terminates at level 0.
+    # Pad slots repeat the group's FIRST body (never a neighbor group's —
+    # that would inflate the bounding box up to the whole domain) so the
+    # force kernel does harmless duplicate work that is dropped on the
+    # scatter-back; empty groups get a far-away box so the root is
+    # accepted immediately and their traversal terminates at level 0.
+    group_idx = jnp.clip(
+        jnp.where(group_valid, gstart[:, None] + slots, gstart[:, None]),
+        0,
+        n - 1,
+    )
+    pg = pos_s[group_idx]  # (G, B, 3)
     empty = (gcount == 0)[:, None]
     lo = jnp.where(empty, _FAR, jnp.min(pg, axis=1))
     hi = jnp.where(empty, _FAR, jnp.max(pg, axis=1))
@@ -230,23 +268,38 @@ def _forces_for_groups(
     list_size,
     backend,
     interpret,
+    traversal="flat",
 ):
     """Traverse + evaluate a (slice of) groups; returns ((Gs,B,3), stats)."""
     dtype = pg.dtype
-    lists, lengths, tstats = traverse(
-        levels,
-        border.astype(dtype),
-        lo,
-        hi,
-        pos_sorted,
-        gm_sorted,
-        G_const=G,
-        theta=theta,
-        leaf_cap=leaf_cap,
-        frontier_size=frontier_size,
-        range_size=range_size,
-        list_size=list_size,
-    )
+    if traversal == "flat":
+        lists, lengths, tstats = traverse_flat(
+            levels,
+            border.astype(dtype),
+            lo,
+            hi,
+            pos_sorted,
+            gm_sorted,
+            G_const=G,
+            theta=theta,
+            leaf_cap=leaf_cap,
+            list_size=list_size,
+        )
+    else:
+        lists, lengths, tstats = traverse(
+            levels,
+            border.astype(dtype),
+            lo,
+            hi,
+            pos_sorted,
+            gm_sorted,
+            G_const=G,
+            theta=theta,
+            leaf_cap=leaf_cap,
+            frontier_size=frontier_size,
+            range_size=range_size,
+            list_size=list_size,
+        )
     if backend == "auto":
         backend = "jnp" if jax.default_backend() == "cpu" else "pallas"
     if backend == "pallas":
@@ -273,6 +326,7 @@ def _forces_for_groups(
         "backend",
         "interpret",
         "return_stats",
+        "traversal",
     ),
 )
 def barneshut_accelerations(
@@ -284,13 +338,14 @@ def barneshut_accelerations(
     theta: float = constants.THETA,
     depth: int = 9,
     group_size: int = 256,
-    leaf_cap: int = 16,
+    leaf_cap: int = 0,
     frontier_size: int = 1024,
     range_size: int = 1024,
-    list_size: int = 4096,
+    list_size: int = 8192,
     backend: str = "auto",
     interpret: bool = False,
     return_stats: bool = False,
+    traversal: str = "flat",
 ):
     """Barnes-Hut accelerations (ForceFn signature).
 
@@ -300,6 +355,8 @@ def barneshut_accelerations(
     """
     n = pos.shape[0]
     dtype = pos.dtype
+    leaf_cap = effective_leaf_cap(n, group_size, leaf_cap)
+    depth = effective_depth(n, depth, leaf_cap, group_size)
 
     (_, perm, levels, border, pos_s, mass_s, group_idx, group_valid,
      pg, lo, hi) = _prepare(pos, mass, depth, group_size)
@@ -321,6 +378,7 @@ def barneshut_accelerations(
         list_size=list_size,
         backend=backend,
         interpret=interpret,
+        traversal=traversal,
     )
     # Scatter (group, slot) accelerations back: sorted order, then inverse
     # of the Morton permutation.
@@ -336,8 +394,10 @@ def barneshut_accelerations(
         stats = BHStats(
             traverse=tstats,
             list_capacity=list_size,
-            frontier_capacity=frontier_size,
-            range_capacity=range_size,
+            # flat traversal reports frontier EXCESS (0 = fits)
+            frontier_capacity=0 if traversal == "flat" else frontier_size,
+            # flat traversal reports range/body EXCESS (0 = fits)
+            range_capacity=0 if traversal == "flat" else range_size,
         )
         return acc, stats
     return acc

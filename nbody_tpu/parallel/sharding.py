@@ -102,10 +102,10 @@ def barneshut_shard_force_fn(
     theta: float = constants.THETA,
     depth: int = 9,
     group_size: int = 256,
-    leaf_cap: int = 16,
+    leaf_cap: int = 0,
     frontier_size: int = 1024,
     range_size: int = 1024,
-    list_size: int = 4096,
+    list_size: int = 8192,
     backend: str = "auto",
     interpret: bool = False,
 ):
@@ -123,7 +123,12 @@ def barneshut_shard_force_fn(
     Requires the sharded N to be a multiple of group_size * n_devices
     (shard_bodies + group-size-aligned padding handles this upstream).
     """
-    from nbody_tpu.ops.barneshut import _forces_for_groups, _prepare
+    from nbody_tpu.ops.barneshut import (
+        _forces_for_groups,
+        _prepare,
+        effective_depth,
+        effective_leaf_cap,
+    )
 
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
@@ -133,8 +138,10 @@ def barneshut_shard_force_fn(
         pos = lax.all_gather(pos_l, axis_name, axis=0, tiled=True)
         mass = lax.all_gather(mass_l, axis_name, axis=0, tiled=True)
         n = pos.shape[0]
+        cap_eff = effective_leaf_cap(n, group_size, leaf_cap)
+        d_eff = effective_depth(n, depth, cap_eff, group_size)
         (_, perm, levels, border, pos_s, mass_s, group_idx, group_valid,
-         pg, lo, hi) = _prepare(pos, mass, depth, group_size, groups_multiple=n_dev)
+         pg, lo, hi) = _prepare(pos, mass, d_eff, group_size, groups_multiple=n_dev)
         gm_s = jnp.asarray(G, dtype) * mass_s
         g_per_dev = pg.shape[0] // n_dev
         k = lax.axis_index(axis_name)
@@ -150,7 +157,7 @@ def barneshut_shard_force_fn(
             G=G,
             softening_sq=softening_sq,
             theta=theta,
-            leaf_cap=leaf_cap,
+            leaf_cap=cap_eff,
             frontier_size=frontier_size,
             range_size=range_size,
             list_size=list_size,
