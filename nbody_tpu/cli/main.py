@@ -89,6 +89,25 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="checkpoint file path (default: <output>.ckpt.csv)",
     )
+    # Performance knobs — the successors of the reference's per-backend CLI
+    # arguments (THREADS_NUM for OpenMP, grid/block sizes for exh_cuda,
+    # README.md:40-68); defaults auto-tune.
+    p.add_argument("--block-i", type=int, default=0,
+                   help="Pallas all-pairs i-block size (0 = auto)")
+    p.add_argument("--block-j", type=int, default=0,
+                   help="Pallas all-pairs j-tile size (0 = auto)")
+    p.add_argument("--bh-group-size", type=int, default=0,
+                   help="Barnes-Hut bodies per traversal group (0 = auto)")
+    p.add_argument("--bh-leaf-cap", type=int, default=0,
+                   help="Barnes-Hut near-field leaf capacity (0 = auto)")
+    p.add_argument("--bh-list-size", type=int, default=0,
+                   help="Barnes-Hut per-group source-list capacity (0 = auto)")
+    p.add_argument(
+        "--devices",
+        action="store_true",
+        help="print the device/mesh report (TPU analog of "
+        "common/get_devices.cu) and continue",
+    )
     return p
 
 
@@ -105,6 +124,20 @@ def build_force_fn(args, n: int):
     if backend == "auto":
         backend = "pallas" if (on_tpu and n >= 4096) else "jnp"
 
+    # optional perf knobs (successors of THREADS_NUM / grid / block args)
+    pallas_kw = {}
+    if getattr(args, "block_i", 0):
+        pallas_kw["block_i"] = args.block_i
+    if getattr(args, "block_j", 0):
+        pallas_kw["block_j"] = args.block_j
+    bh_kw = {}
+    if getattr(args, "bh_group_size", 0):
+        bh_kw["group_size"] = args.bh_group_size
+    if getattr(args, "bh_leaf_cap", 0):
+        bh_kw["leaf_cap"] = args.bh_leaf_cap
+    if getattr(args, "bh_list_size", 0):
+        bh_kw["list_size"] = args.bh_list_size
+
     if algo == "exhaustive":
         if args.shard:
             from nbody_tpu.parallel.sharding import shard_force_fn
@@ -118,6 +151,7 @@ def build_force_fn(args, n: int):
                     pallas_rect_accelerations,
                     G=args.G,
                     softening_sq=args.softening2,
+                    **pallas_kw,
                 )
             else:
                 from nbody_tpu.ops.exhaustive import rect_accelerations
@@ -130,7 +164,10 @@ def build_force_fn(args, n: int):
             from nbody_tpu.ops.pallas_exhaustive import pallas_accelerations
 
             force = partial(
-                pallas_accelerations, G=args.G, softening_sq=args.softening2
+                pallas_accelerations,
+                G=args.G,
+                softening_sq=args.softening2,
+                **pallas_kw,
             )
         else:
             from nbody_tpu.ops.exhaustive import exhaustive_accelerations
@@ -146,6 +183,7 @@ def build_force_fn(args, n: int):
                 G=args.G,
                 softening_sq=args.softening2,
                 theta=args.theta,
+                **bh_kw,
             )
         else:
             from nbody_tpu.ops.barneshut import barneshut_accelerations
@@ -155,6 +193,7 @@ def build_force_fn(args, n: int):
                 G=args.G,
                 softening_sq=args.softening2,
                 theta=args.theta,
+                **bh_kw,
             )
 
     return force, algo, backend
@@ -176,6 +215,11 @@ def main(argv=None) -> int:
     from nbody_tpu.integrate.leapfrog import simulate
     from nbody_tpu.io.csv import read_bodies, write_frames
 
+    if args.devices:
+        from nbody_tpu.parallel.mesh import device_report
+
+        print(device_report())
+
     arr = read_bodies(args.input)
     dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
     bodies = Bodies.from_numpy(arr, dtype=dtype)
@@ -191,7 +235,7 @@ def main(argv=None) -> int:
         from nbody_tpu.parallel.sharding import shard_bodies
 
         # Barnes-Hut sharding assigns whole Morton groups per chip.
-        multiple = 256 if algo == "barnes-hut" else 1
+        multiple = (args.bh_group_size or 512) if algo == "barnes-hut" else 1
         bodies = shard_bodies(bodies, multiple=multiple)
 
     # Reference banner (serial/exhaustive.c:55-57), extended with our config.

@@ -50,13 +50,13 @@ class BHStats(NamedTuple):
 
 
 def _group_kernel(pg_ref, lists_ref, out_ref, *, eps2: float):
-    """One group block vs one j-tile of its interaction list.
+    """One group i-block vs one j-tile of its interaction list.
 
-    pg_ref:    (1, B, 4)  group body positions [x y z 0]
+    pg_ref:    (1, BI, 4) group body positions [x y z 0]
     lists_ref: (1, 4, BJ) list slice, rows [x y z Gm]
-    out_ref:   (1, B, 4)  accumulated accelerations
+    out_ref:   (1, BI, 4) accumulated accelerations
     """
-    j = pl.program_id(1)
+    j = pl.program_id(2)
 
     @pl.when(j == 0)
     def _():
@@ -89,18 +89,19 @@ def _eval_lists_pallas(pos_groups, lists, *, eps2, block_j, interpret):
         [pos_groups.astype(dtype), jnp.zeros((n_groups, b, 1), dtype)], axis=-1
     )
     bj = min(block_j, m)
-    grid = (n_groups, m // bj)
+    bi = 512 if b % 512 == 0 else (256 if b % 256 == 0 else b)
+    grid = (n_groups, b // bi, m // bj)
     out = pl.pallas_call(
         functools.partial(_group_kernel, eps2=float(eps2)),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, b, 4), lambda g, j: (g, 0, 0)),
-            pl.BlockSpec((1, 4, bj), lambda g, j: (g, 0, j)),
+            pl.BlockSpec((1, bi, 4), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, 4, bj), lambda g, i, j: (g, 0, j)),
         ],
-        out_specs=pl.BlockSpec((1, b, 4), lambda g, j: (g, 0, 0)),
+        out_specs=pl.BlockSpec((1, bi, 4), lambda g, i, j: (g, i, 0)),
         out_shape=jax.ShapeDtypeStruct((n_groups, b, 4), dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=20 * n_groups * b * m,
@@ -155,16 +156,33 @@ def effective_depth(n: int, depth: int, leaf_cap: int, group_size: int) -> int:
     return max(3, sl + 3, min(depth, useful))
 
 
+def auto_layout(n: int, group_size: int, leaf_cap: int) -> tuple[int, int, int]:
+    """(group_size, split_level, leaf_cap) for N bodies.
+
+    Traversal cost scales with the number of groups G (every frontier
+    entry is a (group, node) pair), and G is bounded below by the number
+    of occupied split-level cells — so the sweet spot sets the split level
+    where cells hold ~group_size bodies and makes groups as large as the
+    eval kernel tolerates (~2048).  leaf_cap tracks the mean occupancy two
+    levels below the split so expansion stops quickly."""
+    if group_size == 0:
+        # choose the split level so cells hold <= 2048 bodies, then size
+        # groups to the cell occupancy: chunks are whole cells, boxes are
+        # cell-tight, and G stays near the occupied-cell count
+        sl = max(0, math.ceil(math.log(max(n / 2048.0, 1.0), 8)))
+        occ = -(-n // (8**sl))
+        group_size = int(min(2048, max(256, -(-occ // 256) * 256)))
+    else:
+        sl = max(0, math.ceil(math.log(max(n / group_size, 1.0), 8)))
+    if leaf_cap == 0:
+        occ = n / (8 ** (sl + 2))
+        leaf_cap = int(min(32, max(16, 2 * occ)))
+    return group_size, sl, leaf_cap
+
+
 def effective_leaf_cap(n: int, group_size: int, leaf_cap: int) -> int:
-    """Auto leaf_cap (when leaf_cap == 0): ~2x the mean occupancy one
-    level below the group-split level, so expansion stops almost
-    immediately below the group granularity and the traversal frontier
-    stays small.  Clamped to [16, 64]."""
-    if leaf_cap > 0:
-        return leaf_cap
-    sl = max(0, math.ceil(math.log(max(n / group_size, 1.0), 8)))
-    occ = n / (8 ** (sl + 1))
-    return int(min(32, max(16, 2 * occ)))
+    """Back-compat wrapper over auto_layout."""
+    return auto_layout(n, group_size or 512, leaf_cap)[2]
 
 
 def _prepare(
@@ -337,7 +355,7 @@ def barneshut_accelerations(
     softening_sq: float = constants.SOFTENING_SQ,
     theta: float = constants.THETA,
     depth: int = 9,
-    group_size: int = 256,
+    group_size: int = 0,
     leaf_cap: int = 0,
     frontier_size: int = 1024,
     range_size: int = 1024,
@@ -355,11 +373,12 @@ def barneshut_accelerations(
     """
     n = pos.shape[0]
     dtype = pos.dtype
-    leaf_cap = effective_leaf_cap(n, group_size, leaf_cap)
+    group_size, split_level, leaf_cap = auto_layout(n, group_size, leaf_cap)
     depth = effective_depth(n, depth, leaf_cap, group_size)
+    depth = max(depth, split_level + 3)
 
     (_, perm, levels, border, pos_s, mass_s, group_idx, group_valid,
-     pg, lo, hi) = _prepare(pos, mass, depth, group_size)
+     pg, lo, hi) = _prepare(pos, mass, depth, group_size, split_level)
     gm_s = jnp.asarray(G, dtype) * mass_s
     acc_g, tstats = _forces_for_groups(
         levels,

@@ -69,7 +69,9 @@ def default_flat_sizes(n_groups: int, depth: int) -> tuple[int, ...]:
         # (with cell-aligned tight group boxes), tapering for deep levels.
         per_group = min(8 ** min(d, 8), 640 // (2 ** max(0, d - 5)))
         k = n_groups * max(per_group, 1) + 1024
-        sizes.append(int(min(max(k, 1024), 16_777_216)))
+        # floor: with few (large) groups the per-group spread is wider
+        floor = min(32_768, (n_groups + 1) * 8 ** min(d, 5))
+        sizes.append(int(min(max(k, floor, 1024), 16_777_216)))
     return tuple(sizes)
 
 
@@ -85,7 +87,7 @@ def traverse_flat(
     theta: float,
     leaf_cap: int,
     list_size: int,
-    range_size: int = 128,
+    range_size: int = 256,
     flat_sizes: tuple[int, ...] | None = None,
 ) -> tuple[jax.Array, jax.Array, TraverseStats]:
     """Flat traversal.  `range_size` here is the *average* near-field
@@ -107,7 +109,7 @@ def traverse_flat(
     LIN_SENT = n_groups * M
     total_len = jnp.zeros((n_groups,), jnp.int32)
 
-    flat_R = int(n_groups * range_size)
+    flat_R = int(max(n_groups * range_size, 32_768))
     r_start = jnp.zeros((flat_R,), jnp.int32)
     r_count = jnp.zeros((flat_R,), jnp.int32)
     r_dest = jnp.full((flat_R,), LIN_SENT, jnp.int32)  # linear list offset
@@ -227,8 +229,9 @@ def traverse_flat(
     cum = _excl(rc)
     body_total = jnp.sum(rc)
     # near-field bodies are a subset of list entries, so G * list_size is a
-    # hard bound; ~1k bodies/group is the empirical scale for theta=0.5
-    body_cap = int(min(max(n_groups * 1024, 1 << 18), n_groups * M, 12_582_912))
+    # hard bound; with large (cell-scale) groups the near field is several
+    # thousand bodies per group
+    body_cap = int(min(max(n_groups * 6144, 1 << 19), n_groups * M, 12_582_912))
     rid0 = (
         jnp.zeros((body_cap + 1,), jnp.int32)
         .at[jnp.where(rc > 0, cum, body_cap)]

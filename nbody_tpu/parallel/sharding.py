@@ -101,7 +101,7 @@ def barneshut_shard_force_fn(
     softening_sq: float = constants.SOFTENING_SQ,
     theta: float = constants.THETA,
     depth: int = 9,
-    group_size: int = 256,
+    group_size: int = 0,
     leaf_cap: int = 0,
     frontier_size: int = 1024,
     range_size: int = 1024,
@@ -126,8 +126,8 @@ def barneshut_shard_force_fn(
     from nbody_tpu.ops.barneshut import (
         _forces_for_groups,
         _prepare,
+        auto_layout,
         effective_depth,
-        effective_leaf_cap,
     )
 
     mesh = mesh or make_mesh()
@@ -138,10 +138,13 @@ def barneshut_shard_force_fn(
         pos = lax.all_gather(pos_l, axis_name, axis=0, tiled=True)
         mass = lax.all_gather(mass_l, axis_name, axis=0, tiled=True)
         n = pos.shape[0]
-        cap_eff = effective_leaf_cap(n, group_size, leaf_cap)
-        d_eff = effective_depth(n, depth, cap_eff, group_size)
+        gs_eff, sl_eff, cap_eff = auto_layout(n, group_size, leaf_cap)
+        d_eff = effective_depth(n, depth, cap_eff, gs_eff)
+        d_eff = max(d_eff, sl_eff + 3)
         (_, perm, levels, border, pos_s, mass_s, group_idx, group_valid,
-         pg, lo, hi) = _prepare(pos, mass, d_eff, group_size, groups_multiple=n_dev)
+         pg, lo, hi) = _prepare(
+            pos, mass, d_eff, gs_eff, sl_eff, groups_multiple=n_dev
+        )
         gm_s = jnp.asarray(G, dtype) * mass_s
         g_per_dev = pg.shape[0] // n_dev
         k = lax.axis_index(axis_name)

@@ -1,0 +1,86 @@
+"""Auxiliary subsystems: comparator tool, viewer loader, fixtures,
+device report, timing (SURVEY.md §5)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+from conftest import DATA_DIR
+from nbody_tpu.diag.compare import compare_trajectory_files
+from nbody_tpu.diag.timing import Stopwatch, pairs_per_sec
+from nbody_tpu.parallel.mesh import device_report
+from nbody_tpu.utils.fixtures import random_cloud, write_fixture
+from nbody_tpu.utils.viz import load_frames
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN_EXH = os.path.join(DATA_DIR, "golden_exh_10bodies_0_10_0.1.csv")
+GOLDEN_BH = os.path.join(DATA_DIR, "golden_bh_10bodies_0_10_0.1.csv")
+
+
+def test_compare_trajectories_exh_vs_bh():
+    # Exhaustive vs Barnes-Hut golden runs of the same system: small,
+    # linearly-growing divergence (theta approximation).
+    m, b = compare_trajectory_files(GOLDEN_EXH, GOLDEN_BH)
+    assert 0 <= m < 1e-2
+
+
+def test_check_error_script():
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "check_error.py"),
+         GOLDEN_EXH, GOLDEN_BH],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert out.returncode == 0, out.stderr
+    assert "error growth fit" in out.stdout
+
+
+def test_gen_fixtures_script(tmp_path):
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "gen_fixtures.py"),
+         str(tmp_path), "1000"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    from nbody_tpu.io.csv import read_bodies
+
+    arr = read_bodies(tmp_path / "1000_bodies.csv")
+    assert arr.shape == (1000, 7)
+    assert np.all(np.abs(arr[:, :3]) <= 2.0)
+    assert np.all((arr[:, 6] >= 0.04) & (arr[:, 6] <= 1.0))
+
+
+def test_fixture_roundtrip(tmp_path):
+    arr = random_cloud(64, seed=9)
+    p = tmp_path / "f.csv"
+    write_fixture(p, arr)
+    from nbody_tpu.io.csv import read_bodies
+
+    np.testing.assert_array_equal(read_bodies(p), arr)  # repr round-trips
+
+
+def test_viz_load_frames():
+    frames, mass = load_frames(GOLDEN_EXH)
+    assert frames.shape == (101, 10, 3)
+    assert mass.shape == (10,)
+    assert np.allclose(mass, 0.2)
+
+
+def test_device_report():
+    rep = device_report()
+    assert "devices: 8" in rep
+    assert "cpu" in rep.lower()
+
+
+def test_stopwatch_and_meter():
+    sw = Stopwatch()
+    with sw.phase("work"):
+        sum(range(1000))
+    assert "work" in sw.report()
+    assert pairs_per_sec(100, 9, 2.0) == 100 * 100 * 10 / 2.0
