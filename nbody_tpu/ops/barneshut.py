@@ -359,7 +359,7 @@ def barneshut_accelerations(
     leaf_cap: int = 0,
     frontier_size: int = 1024,
     range_size: int = 1024,
-    list_size: int = 8192,
+    list_size: int = 16384,
     backend: str = "auto",
     interpret: bool = False,
     return_stats: bool = False,

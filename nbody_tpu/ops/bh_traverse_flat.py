@@ -67,8 +67,8 @@ def default_flat_sizes(n_groups: int, depth: int) -> tuple[int, ...]:
         # entries are (group, node) pairs: bounded by groups x nodes-at-level
         # and, around the occupancy spike, by an empirical ~384 per group
         # (with cell-aligned tight group boxes), tapering for deep levels.
-        per_group = min(8 ** min(d, 8), 640 // (2 ** max(0, d - 5)))
-        k = n_groups * max(per_group, 1) + 1024
+        per_group = min(8 ** min(d, 8), 1024 // (2 ** max(0, d - 5)))
+        k = n_groups * max(per_group, 1) + 8192
         # floor: with few (large) groups the per-group spread is wider
         floor = min(32_768, (n_groups + 1) * 8 ** min(d, 5))
         sizes.append(int(min(max(k, floor, 1024), 16_777_216)))
@@ -87,7 +87,7 @@ def traverse_flat(
     theta: float,
     leaf_cap: int,
     list_size: int,
-    range_size: int = 256,
+    range_size: int = 512,
     flat_sizes: tuple[int, ...] | None = None,
 ) -> tuple[jax.Array, jax.Array, TraverseStats]:
     """Flat traversal.  `range_size` here is the *average* near-field
@@ -231,7 +231,7 @@ def traverse_flat(
     # near-field bodies are a subset of list entries, so G * list_size is a
     # hard bound; with large (cell-scale) groups the near field is several
     # thousand bodies per group
-    body_cap = int(min(max(n_groups * 6144, 1 << 19), n_groups * M, 12_582_912))
+    body_cap = int(min(max(n_groups * 8448, 1 << 19), n_groups * M, 16_777_216))
     rid0 = (
         jnp.zeros((body_cap + 1,), jnp.int32)
         .at[jnp.where(rc > 0, cum, body_cap)]

@@ -105,7 +105,7 @@ def barneshut_shard_force_fn(
     leaf_cap: int = 0,
     frontier_size: int = 1024,
     range_size: int = 1024,
-    list_size: int = 8192,
+    list_size: int = 16384,
     backend: str = "auto",
     interpret: bool = False,
 ):

@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Barnes-Hut headline benchmark: 1M bodies, theta = 0.5.
+
+Prints one JSON line like bench.py.  Baseline: the reference's best GPU
+Barnes-Hut step time at 1M bodies — bh_cuda 58.764 s / 10 steps
+= 5.876 s/step (tests_result.txt:37, BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+REF_BH_1M_SEC_PER_STEP = 58.764 / 10  # bh_cuda, tests_result.txt:37
+
+
+def main() -> None:
+    from nbody_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from nbody_tpu.core.types import Bodies
+    from nbody_tpu.integrate.leapfrog import leapfrog_steps
+    from nbody_tpu.ops.barneshut import barneshut_accelerations
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    n = 1_000_000 if on_tpu else 20_000
+    steps = 3 if on_tpu else 1
+
+    rng = np.random.default_rng(0)
+    bodies = Bodies(
+        pos=jnp.asarray(rng.uniform(-2.0, 2.0, (n, 3)), jnp.float32),
+        vel=jnp.asarray(rng.uniform(-1.0, 1.0, (n, 3)), jnp.float32),
+        mass=jnp.asarray(rng.uniform(0.04, 1.0, n), jnp.float32),
+    )
+
+    def run():
+        out, acc = leapfrog_steps(bodies, steps, 1e-4, barneshut_accelerations)
+        np.asarray(out.pos[:1])  # D2H readback as the timing fence
+
+    run()  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    sec_per_step = best / (steps + 1)  # (steps+1) force evals per run
+
+    print(
+        json.dumps(
+            {
+                "metric": f"Barnes-Hut seconds/step ({n} bodies, theta=0.5, "
+                "fp32; lower is better)",
+                "value": sec_per_step,
+                "unit": "s/step",
+                "vs_baseline": REF_BH_1M_SEC_PER_STEP / sec_per_step,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
