@@ -29,6 +29,21 @@ from nbody_tpu.diag.energy import get_energy
 
 __version__ = "0.1.0"
 
+
+def barneshut_accelerations(*args, **kw):
+    """Lazy re-export of nbody_tpu.ops.barneshut.barneshut_accelerations."""
+    from nbody_tpu.ops.barneshut import barneshut_accelerations as fn
+
+    return fn(*args, **kw)
+
+
+def pallas_accelerations(*args, **kw):
+    """Lazy re-export of the Pallas all-pairs kernel."""
+    from nbody_tpu.ops.pallas_exhaustive import pallas_accelerations as fn
+
+    return fn(*args, **kw)
+
+
 __all__ = [
     "Bodies",
     "SimConfig",
@@ -36,6 +51,8 @@ __all__ = [
     "read_bodies",
     "write_frames",
     "exhaustive_accelerations",
+    "barneshut_accelerations",
+    "pallas_accelerations",
     "leapfrog_steps",
     "simulate",
     "get_energy",

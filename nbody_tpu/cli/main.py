@@ -103,6 +103,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bh-list-size", type=int, default=0,
                    help="Barnes-Hut per-group source-list capacity (0 = auto)")
     p.add_argument(
+        "--debug-nans",
+        action="store_true",
+        help="enable jax_debug_nans (the TPU-era analog of the "
+        "reference's compute-sanitizer workflow)",
+    )
+    p.add_argument(
         "--devices",
         action="store_true",
         help="print the device/mesh report (TPU analog of "
@@ -205,6 +211,10 @@ def main(argv=None) -> int:
     from nbody_tpu.core.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     if args.dtype == "f64":
         import jax
 
