@@ -103,6 +103,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bh-list-size", type=int, default=0,
                    help="Barnes-Hut per-group source-list capacity (0 = auto)")
     p.add_argument(
+        "--trace",
+        default=None,
+        metavar="DIR",
+        help="write a jax.profiler trace of the run to DIR "
+        "(successor of the reference's -DPRINT_KERNEL_TIME timers)",
+    )
+    p.add_argument(
         "--debug-nans",
         action="store_true",
         help="enable jax_debug_nans (the TPU-era analog of the "
@@ -295,12 +302,15 @@ def main(argv=None) -> int:
                 time=args.start_time + step * dt,
             )
 
+    from nbody_tpu.diag.timing import trace as profiler_trace
+
     t0 = time.perf_counter()
-    bodies = simulate(
-        bodies, n_steps, dt, force,
-        frame_writer=writer, chunk_steps=args.chunk_steps,
-        checkpoint_every=args.checkpoint_every, checkpoint_fn=checkpoint_fn,
-    )
+    with profiler_trace(args.trace):
+        bodies = simulate(
+            bodies, n_steps, dt, force,
+            frame_writer=writer, chunk_steps=args.chunk_steps,
+            checkpoint_every=args.checkpoint_every, checkpoint_fn=checkpoint_fn,
+        )
     elapsed = time.perf_counter() - t0
     if bodies.n != n_real:
         bodies = bodies.unpad(n_real)
