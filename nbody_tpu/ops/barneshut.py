@@ -145,15 +145,14 @@ _FAR = 1.0e18  # empty-group sentinel box: far away -> root accepted at once
 
 
 def effective_depth(n: int, depth: int, leaf_cap: int, group_size: int) -> int:
-    """Cap the tree depth at the level where cells hold ~leaf_cap bodies
-    (plus one): deeper levels are unreachable once expansion stops at
-    count <= leaf_cap, and every level costs traversal work.  Never go
-    shallower than split_level + 3: the terminal-cell COM fallback is only
-    harmless when terminal cells are far smaller than group cells
-    (otherwise clustered/coincident bodies get grossly COM-approximated)."""
-    useful = math.ceil(math.log(max(n / max(leaf_cap, 1), 2.0), 8)) + 1
+    """Tree depth: the requested depth (<= 10 for int32 Morton keys) with a
+    floor of split_level + 3.  Depth is NOT pruned to the uniform-occupancy
+    estimate: clustered inputs put thousands of bodies in cells that a
+    uniform model calls empty, and a shallow terminal level would COM-merge
+    whole clusters (deep levels whose frontiers stay empty cost little —
+    the flat traversal tapers their capacities instead)."""
     sl = max(0, math.ceil(math.log(max(n / group_size, 1.0), 8)))
-    return max(3, sl + 3, min(depth, useful))
+    return max(3, sl + 3, min(depth, 10))
 
 
 def auto_layout(n: int, group_size: int, leaf_cap: int) -> tuple[int, int, int]:
@@ -437,5 +436,13 @@ def check_capacities(pos, mass, **kw) -> BHStats:
             f"ranges={int(stats.traverse.max_ranges_needed)} "
             f"(have {stats.range_capacity}); rerun with larger "
             "list_size/frontier_size/range_size"
+        )
+    term = int(stats.traverse.terminal_com_bodies)
+    if term > 0:
+        raise RuntimeError(
+            f"Barnes-Hut terminal-resolution residual: up to {term} bodies "
+            "per group were COM-merged in over-full terminal cells "
+            "(cluster denser than the depth-10 Morton resolution); "
+            "results are approximate beyond theta for those bodies"
         )
     return stats

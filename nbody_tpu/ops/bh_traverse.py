@@ -56,6 +56,9 @@ class TraverseStats(NamedTuple):
     max_list_needed: jax.Array  # i32: max total sources any group needs
     max_frontier_needed: jax.Array  # i32: widest frontier any group hit
     max_ranges_needed: jax.Array  # i32: most near-field ranges any group hit
+    terminal_com_bodies: jax.Array  # i32: bodies COM-merged in over-full
+    #     terminal cells (per group, worst case) — an accuracy residual,
+    #     nonzero only for clusters denser than the terminal resolution
 
 
 def _exclusive_cumsum(x: jax.Array, axis: int) -> jax.Array:
@@ -107,6 +110,7 @@ def traverse(
 
     frontier = jnp.full((n_groups, F), -1, jnp.int32)
     frontier = frontier.at[:, 0].set(0)  # the root
+    term_res = jnp.zeros((n_groups,), jnp.int32)
 
     for d, lvl in enumerate(levels):
         border_d = border0 / jnp.asarray(2.0**d, dtype)
@@ -130,6 +134,9 @@ def traverse(
         take_com = far | (near & (cnt > cap))
         take_body = near & (cnt <= cap)
         expand = (cnt > 0) & ~take_com & ~take_body
+        term_res = term_res + jnp.sum(
+            jnp.where(near & (cnt > cap), cnt, 0), axis=1
+        )
 
         # ---- emit far/terminal COM entries ------------------------------
         dest = total_len[:, None] + _exclusive_cumsum(
@@ -199,5 +206,6 @@ def traverse(
         max_list_needed=jnp.max(need_len),
         max_frontier_needed=need_frontier,
         max_ranges_needed=jnp.max(need_ranges),
+        terminal_com_bodies=jnp.max(term_res),
     )
     return lists, lengths, stats

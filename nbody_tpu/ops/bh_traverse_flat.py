@@ -67,7 +67,10 @@ def default_flat_sizes(n_groups: int, depth: int) -> tuple[int, ...]:
         # entries are (group, node) pairs: bounded by groups x nodes-at-level
         # and, around the occupancy spike, by an empirical ~384 per group
         # (with cell-aligned tight group boxes), tapering for deep levels.
-        per_group = min(8 ** min(d, 8), 1024 // (2 ** max(0, d - 5)))
+        # deep levels (past the uniform-occupancy spike) only carry chains
+        # through dense clusters: shrinking per-group budgets suffice
+        schedule = {6: 640, 7: 128}
+        per_group = min(8 ** min(d, 8), schedule.get(d, 1024 if d <= 5 else 64))
         k = n_groups * max(per_group, 1) + 8192
         # floor: with few (large) groups the per-group spread is wider
         floor = min(32_768, (n_groups + 1) * 8 ** min(d, 5))
@@ -118,6 +121,7 @@ def traverse_flat(
     # For the flat path this tracks the worst per-level EXCESS over the
     # static capacity (0 = no overflow anywhere).
     need_frontier = jnp.zeros((), jnp.int32)
+    term_res = jnp.zeros((n_groups,), jnp.int32)
 
     # flat frontier at level 0: every group at the root
     k0 = max(flat_sizes[0], n_groups)
@@ -153,6 +157,9 @@ def traverse_flat(
         take_com = far | (near & (cnt > cap))  # terminal over-full -> COM
         take_body = near & (cnt <= cap)
         expand = (cnt > 0) & ~take_com & ~take_body
+        term_res = term_res + jax.ops.segment_sum(
+            jnp.where(near & (cnt > cap), cnt, 0), gid, num_segments=n_groups
+        )
 
         # ---- emit COM entries ------------------------------------------
         tc = take_com.astype(jnp.int32)
@@ -271,5 +278,6 @@ def traverse_flat(
         max_list_needed=jnp.max(total_len),
         max_frontier_needed=need_frontier,
         max_ranges_needed=need_ranges_tot,
+        terminal_com_bodies=jnp.max(term_res),
     )
     return lists, lengths, stats

@@ -58,6 +58,33 @@ def test_cli_matches_reference_golden(tmp_path):
     np.testing.assert_allclose(o, g, atol=2e-5, rtol=0)
 
 
+def test_cli_barnes_hut(tmp_path, capsys):
+    """The BH algorithm end-to-end through the CLI: at 10 bodies a single
+    Morton group makes BH nearly exact, so the trajectory must track the
+    exhaustive golden run closely."""
+    out = tmp_path / "bh.csv"
+    rc = main(
+        [
+            os.path.join(DATA_DIR, "10_bodies.csv"),
+            "0", "10", "0.1",
+            str(out),
+            "--algo", "barnes-hut",
+        ]
+    )
+    assert rc == 0
+    assert "Algorithm: barnes-hut" in capsys.readouterr().out
+    rows, n = read_trajectory(out)
+    assert n == 10 and rows.shape == (101 * 10, 5)
+    golden = np.loadtxt(
+        os.path.join(DATA_DIR, "golden_exh_10bodies_0_10_0.1.csv"),
+        delimiter=",",
+    )
+    # f32 + theta approximation over 100 steps: loose but meaningful bound
+    np.testing.assert_allclose(
+        rows[:, 1:4], golden[:, 1:4], atol=2e-2, rtol=0
+    )
+
+
 def test_cli_no_output(tmp_path, capsys):
     out = tmp_path / "none.csv"
     rc = main(
