@@ -237,14 +237,23 @@ def main(argv=None) -> int:
 
         print(device_report())
 
-    arr = read_bodies(args.input)
+    try:
+        arr = read_bodies(args.input)
+    except (ValueError, FileNotFoundError, OSError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
     bodies = Bodies.from_numpy(arr, dtype=dtype)
 
     # Reference semantics: dt parsed as C float, n_steps truncated float div
     # (serial/exhaustive.c:50-52).
+    if args.delta_time == 0:
+        print("error: delta_time must be nonzero", file=sys.stderr)
+        return 2
     dt = SimConfig.c_float(args.delta_time)
-    n_steps = SimConfig.n_steps(args.start_time, args.end_time, args.delta_time)
+    n_steps = max(
+        0, SimConfig.n_steps(args.start_time, args.end_time, args.delta_time)
+    )
 
     n_real = bodies.n
     force, algo, backend = build_force_fn(args, bodies.n)
@@ -258,7 +267,7 @@ def main(argv=None) -> int:
     # Reference banner (serial/exhaustive.c:55-57), extended with our config.
     print(
         f"Start: {args.start_time:f}, end: {args.end_time:f}, delta time: "
-        f"{dt:f}, time steps: {n_steps}, ents: {bodies.n}, G: {args.G:f}"
+        f"{dt:f}, time steps: {n_steps}, ents: {bodies.n}, G: {args.G:g}"
     )
     print(
         f"Algorithm: {algo}, backend: {backend}, dtype: {args.dtype}, "
@@ -318,7 +327,7 @@ def main(argv=None) -> int:
     print(f"Completed. Output file: {args.output}")
     print(f"Elapsed wall time: {elapsed:f} s")
     pairs = float(n_steps + 1) * float(bodies.n) ** 2
-    if algo == "exhaustive" and elapsed > 0:
+    if algo == "exhaustive" and elapsed > 0 and n_steps > 0:
         print(f"Pair interactions/sec: {pairs / elapsed:.3e}")
 
     if args.energy:

@@ -21,7 +21,7 @@ def test_cli_end_to_end(tmp_path, capsys, bodies10):
     assert rc == 0
     captured = capsys.readouterr().out
     # Reference banner fields (serial/exhaustive.c:55-57).
-    assert "time steps: 100, ents: 10, G: 1.000000" in captured
+    assert "time steps: 100, ents: 10, G: 1" in captured
     assert "Elapsed wall time:" in captured
     assert "Relative energy drift:" in captured
 
