@@ -1,0 +1,26 @@
+"""CLI --shard end-to-end on the virtual 8-device CPU mesh."""
+
+import os
+
+import numpy as np
+
+from conftest import DATA_DIR
+from nbody_tpu.cli.main import main
+from nbody_tpu.io.csv import read_trajectory
+
+
+def test_cli_shard_matches_unsharded(tmp_path):
+    a = tmp_path / "a.csv"
+    b = tmp_path / "b.csv"
+    args = [
+        os.path.join(DATA_DIR, "100_bodies_g1.csv"),
+        "0", "1", "0.05",
+        "--dtype", "f64",
+    ]
+    assert main(args[:4] + [str(a)] + args[4:]) == 0
+    assert main(args[:4] + [str(b)] + args[4:] + ["--shard"]) == 0
+    rows_a, n_a = read_trajectory(a)
+    rows_b, n_b = read_trajectory(b)
+    assert n_a == n_b == 100
+    assert rows_a.shape == rows_b.shape  # padding dropped from output
+    np.testing.assert_allclose(rows_b, rows_a, atol=2e-6, rtol=0)
