@@ -54,3 +54,17 @@ def test_coincident_bodies_guarded():
 def test_energy_drift_helper():
     assert energy_drift(-1.001, -1.0) == pytest.approx(1e-3)
     assert energy_drift(5.0, 0.0) == 5.0
+
+
+def test_pallas_potential_energy_matches_oracle():
+    from nbody_tpu.diag.energy import pallas_potential_energy
+
+    arr = random_cloud(700, seed=77)
+    _, pe_o = oracle.energy(arr[:, :3], arr[:, 3:6], arr[:, 6])
+    pe = pallas_potential_energy(
+        jnp.asarray(arr[:, :3], jnp.float32),
+        jnp.asarray(arr[:, 6], jnp.float32),
+        block=256,
+        interpret=True,
+    )
+    assert float(pe) == pytest.approx(pe_o, rel=1e-4)
