@@ -274,12 +274,26 @@ def main(argv=None) -> int:
         f"shard: {args.shard}"
     )
 
-    if args.energy:
+    def measure_energy(b):
+        import jax
+        import jax.numpy as jnp_
+
         from nbody_tpu.diag.energy import get_energy
 
-        ke0, pe0 = get_energy(bodies.pos, bodies.vel, bodies.mass, G=args.G)
-        e0 = float(ke0) + float(pe0)
-        print(f"Initial energy: KE={float(ke0):.9g} PE={float(pe0):.9g} E={e0:.9g}")
+        if jax.default_backend() != "cpu" and b.n >= 50_000:
+            # large-N fast path: KE directly, PE via the Pallas kernel
+            from nbody_tpu.diag.energy import pallas_potential_energy
+
+            ke = 0.5 * jnp_.sum(b.mass * jnp_.sum(b.vel * b.vel, axis=-1))
+            pe = pallas_potential_energy(b.pos, b.mass, G=args.G)
+            return float(ke), float(pe)
+        ke, pe = get_energy(b.pos, b.vel, b.mass, G=args.G)
+        return float(ke), float(pe)
+
+    if args.energy:
+        ke0, pe0 = measure_energy(bodies)
+        e0 = ke0 + pe0
+        print(f"Initial energy: KE={ke0:.9g} PE={pe0:.9g} E={e0:.9g}")
 
     writer = None
     if not args.no_output:
@@ -331,14 +345,12 @@ def main(argv=None) -> int:
         print(f"Pair interactions/sec: {pairs / elapsed:.3e}")
 
     if args.energy:
-        from nbody_tpu.diag.energy import energy_drift, get_energy
+        from nbody_tpu.diag.energy import energy_drift
 
-        ke1, pe1 = get_energy(bodies.pos, bodies.vel, bodies.mass, G=args.G)
-        e1 = float(ke1) + float(pe1)
+        ke1, pe1 = measure_energy(bodies)
+        e1 = ke1 + pe1
         drift = energy_drift(e1, e0)
-        print(
-            f"Final energy:   KE={float(ke1):.9g} PE={float(pe1):.9g} E={e1:.9g}"
-        )
+        print(f"Final energy:   KE={ke1:.9g} PE={pe1:.9g} E={e1:.9g}")
         print(f"Relative energy drift: {drift:.3e}")
 
     return 0
