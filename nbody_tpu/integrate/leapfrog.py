@@ -123,5 +123,8 @@ def simulate(
             and done % checkpoint_every == 0
         ):
             checkpoint_fn(bodies, done)
-    jax.block_until_ready(bodies.pos)
+    # Device fence via a tiny D2H copy: block_until_ready is not a reliable
+    # fence on every PJRT plugin (the axon tunnel returns immediately), and
+    # callers time around this function.
+    np.asarray(bodies.pos[:1])
     return bodies

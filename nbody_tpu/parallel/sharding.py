@@ -89,6 +89,7 @@ def shard_force_fn(
             mesh=mesh,
             in_specs=(P(axis_name, None), P(axis_name)),
             out_specs=P(axis_name, None),
+            check_vma=False,  # pallas_call outputs carry no vma annotations
         )
     )
 
@@ -185,6 +186,7 @@ def barneshut_shard_force_fn(
             mesh=mesh,
             in_specs=(P(axis_name, None), P(axis_name)),
             out_specs=P(axis_name, None),
+            check_vma=False,  # pallas_call outputs carry no vma annotations
         )
     )
 
