@@ -175,3 +175,19 @@ def test_bh_trajectory_close_to_exhaustive():
     dp = np.abs(np.asarray(out_bh.pos) - np.asarray(out_ex.pos)).max()
     scale = np.abs(np.asarray(out_ex.pos)).max()
     assert dp / scale < 5e-3, dp / scale
+
+
+def test_flat_and_padded_traversals_agree():
+    """The two traversal implementations share classification criteria and
+    must produce identical source sets (order may differ -> f32 summation
+    noise only)."""
+    arr = random_cloud(1500, seed=53)
+    pos = jnp.asarray(arr[:, :3], jnp.float32)
+    mass = jnp.asarray(arr[:, 6], jnp.float32)
+    kw = dict(depth=8, group_size=64, backend="jnp")
+    a_flat = np.asarray(barneshut_accelerations(pos, mass, traversal="flat", **kw))
+    a_pad = np.asarray(
+        barneshut_accelerations(pos, mass, traversal="padded", **kw)
+    )
+    scale = np.abs(a_pad).max()
+    np.testing.assert_allclose(a_flat, a_pad, atol=3e-6 * scale, rtol=1e-4)
