@@ -50,6 +50,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="kernel backend (auto: pallas on TPU for large N)",
     )
     p.add_argument("--dtype", choices=["f32", "f64"], default="f32")
+    p.add_argument(
+        "--integrator",
+        choices=["leapfrog", "yoshida4"],
+        default="leapfrog",
+        help="leapfrog = reference 2nd-order KDK; yoshida4 = 4th-order "
+        "symplectic (3 force evals/step, beyond the reference)",
+    )
     p.add_argument("--G", type=float, default=constants.BIG_G)
     p.add_argument("--theta", type=float, default=constants.THETA)
     p.add_argument("--softening2", type=float, default=constants.SOFTENING_SQ)
@@ -333,6 +340,7 @@ def main(argv=None) -> int:
             bodies, n_steps, dt, force,
             frame_writer=writer, chunk_steps=args.chunk_steps,
             checkpoint_every=args.checkpoint_every, checkpoint_fn=checkpoint_fn,
+            integrator=args.integrator,
         )
     elapsed = time.perf_counter() - t0
     if bodies.n != n_real:

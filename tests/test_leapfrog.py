@@ -107,3 +107,33 @@ def test_energy_drift_bounded_solar_system(data_dir):
     )
     drift = abs((ke1 + pe1) - e0) / abs(e0)
     assert drift < 1e-6, drift
+
+
+def test_yoshida4_higher_order_drift():
+    """The 4th-order Yoshida integrator must conserve energy far better
+    than KDK at the same dt on a well-conditioned system, and its error
+    must shrink ~dt^4 (KDK shrinks ~dt^2)."""
+    from nbody_tpu.io.csv import read_bodies
+
+    arr = read_bodies(os.path.join(DATA_DIR, "sun_earth.csv"))
+    b = Bodies.from_numpy(arr, dtype=jnp.float64)
+    G_SI = 6.67e-11
+    force = partial(direct_accelerations, G=G_SI)
+    ke0, pe0 = oracle.energy(arr[:, :3], arr[:, 3:6], arr[:, 6], G=G_SI)
+    e0 = ke0 + pe0
+
+    def drift(integrator, dt, steps):
+        out, _ = leapfrog_steps(b, steps, dt, force, integrator=integrator)
+        ke, pe = oracle.energy(
+            np.asarray(out.pos), np.asarray(out.vel), np.asarray(out.mass),
+            G=G_SI,
+        )
+        return abs((ke + pe) - e0) / abs(e0)
+
+    d_kdk = drift("leapfrog", 20000.0, 500)
+    d_y4 = drift("yoshida4", 20000.0, 500)
+    assert d_y4 < d_kdk / 50, (d_y4, d_kdk)
+
+    # order check: halving dt cuts the y4 error by ~16x (allow slack)
+    d_y4_half = drift("yoshida4", 10000.0, 1000)
+    assert d_y4_half < d_y4 / 8, (d_y4_half, d_y4)
