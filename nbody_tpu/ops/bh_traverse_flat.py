@@ -108,6 +108,42 @@ def traverse_flat(
     gG = jnp.asarray(G_const, dtype)
     SENT = n_groups  # out-of-range gid sentinel: dropped by segment ops
 
+    # --- quantize group boxes into 2 packed int32s ------------------------
+    # Per-entry box gathers dominate the classify phase (6 of 11 gathered
+    # fields); pack lo/hi into one i32 each (10 bits/axis over the root
+    # cube, lo rounded DOWN and hi rounded UP so the dequantized box
+    # contains the true box and the MAC stays conservative).  Empty groups
+    # (the _FAR sentinel) are flagged in bit 30 of the lo word.
+    half0 = 0.5 * border0.astype(jnp.float32)
+    qcell = border0.astype(jnp.float32) / 1024.0
+    inv_q = 1024.0 / border0.astype(jnp.float32)
+
+    def _qdown(v):
+        return jnp.clip(
+            jnp.floor((v.astype(jnp.float32) + half0) * inv_q).astype(jnp.int32),
+            0, 1023,
+        )
+
+    def _qup(v):
+        # stored as (ceil - 1) in [0, 1023] so three axes fit 30 bits
+        return jnp.clip(
+            jnp.ceil((v.astype(jnp.float32) + half0) * inv_q).astype(jnp.int32),
+            1, 1024,
+        ) - 1
+
+    empty_grp = group_lo[:, 0] > 1.0e17
+    boxq_lo = (
+        _qdown(group_lo[:, 0])
+        | (_qdown(group_lo[:, 1]) << 10)
+        | (_qdown(group_lo[:, 2]) << 20)
+        | jnp.where(empty_grp, jnp.int32(1 << 30), 0)
+    )
+    boxq_hi = (
+        _qup(group_hi[:, 0])
+        | (_qup(group_hi[:, 1]) << 10)
+        | (_qup(group_hi[:, 2]) << 20)
+    )
+
     lists_flat = jnp.zeros((4, n_groups * M + 1), dtype)
     LIN_SENT = n_groups * M
     total_len = jnp.zeros((n_groups,), jnp.int32)
@@ -140,17 +176,24 @@ def traverse_flat(
         cx = jnp.take(lvl.com[:, 0], nid, mode="clip")
         cy = jnp.take(lvl.com[:, 1], nid, mode="clip")
         cz = jnp.take(lvl.com[:, 2], nid, mode="clip")
-        lox = jnp.take(group_lo[:, 0], gid_c, mode="clip")
-        loy = jnp.take(group_lo[:, 1], gid_c, mode="clip")
-        loz = jnp.take(group_lo[:, 2], gid_c, mode="clip")
-        hix = jnp.take(group_hi[:, 0], gid_c, mode="clip")
-        hiy = jnp.take(group_hi[:, 1], gid_c, mode="clip")
-        hiz = jnp.take(group_hi[:, 2], gid_c, mode="clip")
+        blo = jnp.take(boxq_lo, gid_c, mode="clip")
+        bhi = jnp.take(boxq_hi, gid_c, mode="clip")
+        is_empty = (blo >> 30) & 1
+        lox = ((blo & 1023).astype(jnp.float32)) * qcell - half0
+        loy = (((blo >> 10) & 1023).astype(jnp.float32)) * qcell - half0
+        loz = (((blo >> 20) & 1023).astype(jnp.float32)) * qcell - half0
+        hix = ((bhi & 1023) + 1).astype(jnp.float32) * qcell - half0
+        hiy = (((bhi >> 10) & 1023) + 1).astype(jnp.float32) * qcell - half0
+        hiz = (((bhi >> 20) & 1023) + 1).astype(jnp.float32) * qcell - half0
 
         dx = cx - jnp.clip(cx, lox, hix)
         dy = cy - jnp.clip(cy, loy, hiy)
         dz = cz - jnp.clip(cz, loz, hiz)
-        dist2 = dx * dx + dy * dy + dz * dz
+        # empty groups: force an immediate far-accept of the root
+        dist2 = jnp.where(
+            is_empty > 0, jnp.asarray(1.0e30, dtype),
+            (dx * dx + dy * dy + dz * dz).astype(dtype),
+        )
 
         far = (cnt > 0) & (theta_sq * dist2 > border_d * border_d)
         near = (cnt > 0) & ~far & ((cnt <= cap) | (d == depth))

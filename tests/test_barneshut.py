@@ -178,9 +178,10 @@ def test_bh_trajectory_close_to_exhaustive():
 
 
 def test_flat_and_padded_traversals_agree():
-    """The two traversal implementations share classification criteria and
-    must produce identical source sets (order may differ -> f32 summation
-    noise only)."""
+    """The two traversals share classification criteria; flat additionally
+    quantizes group boxes (outward-rounded, so its MAC is strictly MORE
+    conservative).  Their outputs must agree at the sub-theta level, and
+    both must sit within the theta error budget of the exact force."""
     arr = random_cloud(1500, seed=53)
     pos = jnp.asarray(arr[:, :3], jnp.float32)
     mass = jnp.asarray(arr[:, 6], jnp.float32)
@@ -189,5 +190,10 @@ def test_flat_and_padded_traversals_agree():
     a_pad = np.asarray(
         barneshut_accelerations(pos, mass, traversal="padded", **kw)
     )
-    scale = np.abs(a_pad).max()
-    np.testing.assert_allclose(a_flat, a_pad, atol=3e-6 * scale, rtol=1e-4)
+    a_ex = oracle.accel_exhaustive(arr[:, :3], arr[:, 6])
+    scale = np.abs(a_ex).max()
+    assert np.abs(a_flat - a_pad).max() / scale < 2e-3
+    # conservative boxes: flat's error must not exceed padded's by much
+    err_flat = np.abs(a_flat - a_ex).max() / scale
+    err_pad = np.abs(a_pad - a_ex).max() / scale
+    assert err_flat <= err_pad * 1.5 + 1e-4, (err_flat, err_pad)
