@@ -281,7 +281,7 @@ def traverse_flat(
     # near-field bodies are a subset of list entries, so G * list_size is a
     # hard bound; with large (cell-scale) groups the near field is several
     # thousand bodies per group
-    body_cap = int(min(max(n_groups * 8448, 1 << 19), n_groups * M, 16_777_216))
+    body_cap = int(min(max(n_groups * 5120, 1 << 19), n_groups * M, 16_777_216))
     rid0 = (
         jnp.zeros((body_cap + 1,), jnp.int32)
         .at[jnp.where(rc > 0, cum, body_cap)]
