@@ -75,15 +75,62 @@ def animate(
     return anim
 
 
+def export_video(
+    path: str,
+    out: str,
+    stride: int = 1,
+    fps: int = 30,
+    size: int = 640,
+    highlight_body: int = 0,
+) -> None:
+    """Encode a trajectory CSV to a video file via OpenCV — the analog of
+    the reference's utils/make_video.py (AVI from frame dumps).  The
+    container/codec follows the extension (.avi -> MJPG, .mp4 -> mp4v)."""
+    import cv2
+
+    frames, mass = load_frames(path)
+    frames = frames[::stride]
+    lim = float(np.abs(frames).max()) * 1.05 or 1.0
+
+    fourcc = cv2.VideoWriter_fourcc(
+        *("MJPG" if out.lower().endswith(".avi") else "mp4v")
+    )
+    writer = cv2.VideoWriter(out, fourcc, fps, (size, size))
+    radii = (1 + 3 * mass / mass.max()).astype(int)
+    try:
+        for fr in frames:
+            img = np.zeros((size, size, 3), dtype=np.uint8)
+            # x -> screen x, y -> screen y; z -> brightness (the pygame
+            # player's convention, utils/pygame-show.py:35-44)
+            sx = ((fr[:, 0] / lim * 0.5 + 0.5) * (size - 1)).astype(int)
+            sy = ((fr[:, 1] / lim * 0.5 + 0.5) * (size - 1)).astype(int)
+            bz = (np.clip(fr[:, 2] / lim * 0.5 + 0.5, 0, 1) * 155 + 100).astype(int)
+            for i in range(fr.shape[0]):
+                color = (0, 0, 255) if i == highlight_body else (
+                    int(bz[i]), int(bz[i]), int(bz[i])
+                )
+                cv2.circle(img, (int(sx[i]), int(sy[i])), int(radii[i]), color, -1)
+            writer.write(img)
+    finally:
+        writer.release()
+
+
 def main(argv=None):  # pragma: no cover - thin CLI
     import argparse
 
     p = argparse.ArgumentParser(description="nbody trajectory viewer")
     p.add_argument("trajectory")
-    p.add_argument("--out", help="write a GIF instead of showing a window")
+    p.add_argument(
+        "--out",
+        help="write a GIF (.gif) or video (.avi/.mp4) instead of showing "
+        "a window",
+    )
     p.add_argument("--stride", type=int, default=1)
     args = p.parse_args(argv)
-    animate(args.trajectory, out=args.out, stride=args.stride)
+    if args.out and args.out.lower().endswith((".avi", ".mp4")):
+        export_video(args.trajectory, args.out, stride=args.stride)
+    else:
+        animate(args.trajectory, out=args.out, stride=args.stride)
 
 
 if __name__ == "__main__":  # pragma: no cover

@@ -84,3 +84,17 @@ def test_stopwatch_and_meter():
         sum(range(1000))
     assert "work" in sw.report()
     assert pairs_per_sec(100, 9, 2.0) == 100 * 100 * 10 / 2.0
+
+
+def test_viz_export_video(tmp_path):
+    import pytest
+
+    cv2 = pytest.importorskip("cv2")
+    from nbody_tpu.utils.viz import export_video
+
+    out = tmp_path / "t.avi"
+    export_video(GOLDEN_EXH, str(out), stride=20)
+    assert out.exists() and out.stat().st_size > 5000
+    cap = cv2.VideoCapture(str(out))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 6  # 101 frames / 20
+    cap.release()
