@@ -98,3 +98,47 @@ def test_viz_export_video(tmp_path):
     cap = cv2.VideoCapture(str(out))
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 6  # 101 frames / 20
     cap.release()
+
+
+def test_plummer_cloud_properties():
+    from nbody_tpu.utils.fixtures import plummer_cloud
+
+    arr = plummer_cloud(20_000, seed=5)
+    assert arr.shape == (20_000, 7)
+    r = np.linalg.norm(arr[:, :3], axis=1)
+    # half-mass radius of a Plummer sphere is ~1.305 scale radii
+    assert 1.0 < np.median(r) < 1.7
+    # centrally concentrated: far more bodies inside a than outside 5a
+    assert (r < 1.0).sum() > 5 * (r > 5.0).sum()
+    # bound: specific KE < |specific PE| in aggregate (virial-ish)
+    ke = 0.5 * (arr[:, 6] * (arr[:, 3:6] ** 2).sum(1)).sum()
+    assert 0.0 < ke < 0.5  # PE_total = -3*pi/32 ~ -0.295 for M=a=G=1
+
+
+def test_bh_on_plummer_cluster():
+    """Strongly clustered input through the default BH path: forces must
+    stay sane or overflow must be reported (never silent garbage)."""
+    import jax.numpy as jnp
+
+    from nbody_tpu.ops.barneshut import barneshut_accelerations
+    from nbody_tpu.utils.fixtures import plummer_cloud
+
+    arr = plummer_cloud(8_000, seed=9)
+    pos = jnp.asarray(arr[:, :3], jnp.float32)
+    mass = jnp.asarray(arr[:, 6], jnp.float32)
+    acc, stats = barneshut_accelerations(pos, mass, return_stats=True)
+    if stats.overflowed() or int(stats.traverse.terminal_com_bodies) > 0:
+        # Plummer tails put outliers at r ~ 100+ scale radii; the Morton
+        # domain then exceeds the depth-10 resolution over the core and
+        # the traversal REPORTS the terminal-COM residual (this is the
+        # detection path under test — silent garbage would be a failure).
+        assert int(stats.traverse.terminal_com_bodies) > 0
+        return
+    idx = np.random.default_rng(0).integers(0, 8000, 300)
+    d = arr[None, :, :3] - arr[idx][:, None, :3]
+    r2 = (d * d).sum(-1) + 0.01
+    w = arr[None, :, 6] * r2**-1.5
+    want = np.einsum("ij,ijk->ik", w, d)
+    got = np.asarray(acc)[idx]
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 0.02
