@@ -96,6 +96,20 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="checkpoint file path (default: <output>.ckpt.csv)",
     )
+    p.add_argument(
+        "--checkpoint-keep",
+        type=int,
+        default=1,
+        help="rotate checkpoints, keeping the last k (k > 1 keeps older "
+        "ones at <path>.1, <path>.2, ...)",
+    )
+    p.add_argument(
+        "--resume",
+        action="store_true",
+        help="treat INPUT as a checkpoint and continue its run: the start "
+        "time comes from the .meta.json sidecar (the positional start_time "
+        "is ignored) and frames append to OUTPUT if it already exists",
+    )
     # Performance knobs — the successors of the reference's per-backend CLI
     # arguments (THREADS_NUM for OpenMP, grid/block sizes for exh_cuda,
     # README.md:40-68); defaults auto-tune.
@@ -109,6 +123,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Barnes-Hut near-field leaf capacity (0 = auto)")
     p.add_argument("--bh-list-size", type=int, default=0,
                    help="Barnes-Hut per-group source-list capacity (0 = auto)")
+    p.add_argument(
+        "--no-capacity-check",
+        action="store_true",
+        help="skip the Barnes-Hut startup capacity probe (the probe costs "
+        "one extra force evaluation; without it an over-dense input would "
+        "abort mid-run instead of at startup)",
+    )
     p.add_argument(
         "--trace",
         default=None,
@@ -131,6 +152,18 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _bh_kwargs(args) -> dict:
+    """Barnes-Hut tuning knobs from flags (0 = auto, omitted)."""
+    bh_kw = {}
+    if getattr(args, "bh_group_size", 0):
+        bh_kw["group_size"] = args.bh_group_size
+    if getattr(args, "bh_leaf_cap", 0):
+        bh_kw["leaf_cap"] = args.bh_leaf_cap
+    if getattr(args, "bh_list_size", 0):
+        bh_kw["list_size"] = args.bh_list_size
+    return bh_kw
+
+
 def build_force_fn(args, n: int):
     """Pick the force implementation: algorithm x backend x sharding."""
     import jax
@@ -150,13 +183,7 @@ def build_force_fn(args, n: int):
         pallas_kw["block_i"] = args.block_i
     if getattr(args, "block_j", 0):
         pallas_kw["block_j"] = args.block_j
-    bh_kw = {}
-    if getattr(args, "bh_group_size", 0):
-        bh_kw["group_size"] = args.bh_group_size
-    if getattr(args, "bh_leaf_cap", 0):
-        bh_kw["leaf_cap"] = args.bh_leaf_cap
-    if getattr(args, "bh_list_size", 0):
-        bh_kw["list_size"] = args.bh_list_size
+    bh_kw = _bh_kwargs(args)
 
     if algo == "exhaustive":
         if args.shard:
@@ -244,8 +271,19 @@ def main(argv=None) -> int:
 
         print(device_report())
 
+    t0 = args.start_time
+    resume_step = 0
     try:
-        arr = read_bodies(args.input)
+        if args.resume:
+            from nbody_tpu.io.checkpoint import load_checkpoint
+
+            arr, meta = load_checkpoint(args.input)
+            if "time" in meta:
+                t0 = float(meta["time"])
+            resume_step = int(meta.get("step", 0))
+            print(f"Resuming from {args.input}: step {resume_step}, t = {t0:g}")
+        else:
+            arr = read_bodies(args.input)
     except (ValueError, FileNotFoundError, OSError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
@@ -258,12 +296,41 @@ def main(argv=None) -> int:
         print("error: delta_time must be nonzero", file=sys.stderr)
         return 2
     dt = SimConfig.c_float(args.delta_time)
-    n_steps = max(
-        0, SimConfig.n_steps(args.start_time, args.end_time, args.delta_time)
-    )
+    n_steps = max(0, SimConfig.n_steps(t0, args.end_time, args.delta_time))
 
     n_real = bodies.n
     force, algo, backend = build_force_fn(args, bodies.n)
+
+    if algo == "barnes-hut" and not args.no_capacity_check:
+        # Startup capacity probe (one traversal): fail fast before the run
+        # instead of silently dropping sources past the static capacities —
+        # the reference aborts on node-pool exhaustion the same way
+        # (openmp/barnes-hut.c:158-160).  The probe runs unsharded with the
+        # run's exact parameters; sharded capacities are per-group identical.
+        from nbody_tpu.ops.barneshut import (
+            CapacityError,
+            ResolutionError,
+            check_capacities,
+        )
+
+        try:
+            check_capacities(
+                bodies.pos,
+                bodies.mass,
+                G=args.G,
+                softening_sq=args.softening2,
+                theta=args.theta,
+                backend=backend if backend != "pallas" else "auto",
+                **_bh_kwargs(args),
+            )
+        except CapacityError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 3
+        except ResolutionError as e:
+            # Accuracy (not correctness-of-accounting) residual: warn and
+            # continue, matching the theta-approximation contract.
+            print(f"warning: {e}", file=sys.stderr)
+
     if args.shard:
         from nbody_tpu.parallel.sharding import shard_bodies
 
@@ -273,7 +340,7 @@ def main(argv=None) -> int:
 
     # Reference banner (serial/exhaustive.c:55-57), extended with our config.
     print(
-        f"Start: {args.start_time:f}, end: {args.end_time:f}, delta time: "
+        f"Start: {t0:f}, end: {args.end_time:f}, delta time: "
         f"{dt:f}, time steps: {n_steps}, ents: {bodies.n}, G: {args.G:g}"
     )
     print(
@@ -304,37 +371,55 @@ def main(argv=None) -> int:
 
     writer = None
     if not args.no_output:
+        import os as _os
+
+        # On --resume, continue an existing trajectory file: append, keep
+        # the global frame numbering (for --write-every strides), and skip
+        # the initial frame (it is the interrupted run's last written one).
+        resuming_output = (
+            args.resume
+            and _os.path.exists(args.output)
+            and _os.path.getsize(args.output) > 0
+        )
         mass_np = np.asarray(bodies.mass, dtype=np.float64)[:n_real]
         stride = max(1, args.write_every)
-        state = {"count": 0}  # global frame index (0 = initial state)
+        # global frame index (0 = initial state of the original run)
+        state = {"count": resume_step if resuming_output else 0}
+        skip = {"n": 1 if resuming_output else 0}
 
         def writer(chunk: np.ndarray) -> None:
             chunk = chunk[:, :n_real]  # drop inert shard padding
             idx = state["count"] + np.arange(chunk.shape[0])
             state["count"] += chunk.shape[0]
+            if skip["n"]:
+                k = min(skip["n"], chunk.shape[0])
+                chunk, idx = chunk[k:], idx[k:]
+                skip["n"] -= k
             sel = chunk[idx % stride == 0]
             if len(sel):
                 write_frames(args.output, [sel], mass_np, append=True)
 
-        open(args.output, "w").close()
+        if not resuming_output:
+            open(args.output, "w").close()
 
     checkpoint_fn = None
+    ckpt_mgr = None
     if args.checkpoint_every > 0:
-        from nbody_tpu.io.checkpoint import save_checkpoint
+        from nbody_tpu.io.checkpoint import CheckpointManager
 
         ckpt_path = args.checkpoint or (args.output + ".ckpt.csv")
+        ckpt_mgr = CheckpointManager(ckpt_path, keep=args.checkpoint_keep)
 
         def checkpoint_fn(b, step):
-            save_checkpoint(
-                ckpt_path,
+            ckpt_mgr.save(
                 b.unpad(n_real) if b.n != n_real else b,
-                step=step,
-                time=args.start_time + step * dt,
+                step=resume_step + step,
+                time=t0 + step * dt,
             )
 
     from nbody_tpu.diag.timing import trace as profiler_trace
 
-    t0 = time.perf_counter()
+    t_wall0 = time.perf_counter()
     with profiler_trace(args.trace):
         bodies = simulate(
             bodies, n_steps, dt, force,
@@ -342,7 +427,9 @@ def main(argv=None) -> int:
             checkpoint_every=args.checkpoint_every, checkpoint_fn=checkpoint_fn,
             integrator=args.integrator,
         )
-    elapsed = time.perf_counter() - t0
+    elapsed = time.perf_counter() - t_wall0
+    if ckpt_mgr is not None:
+        ckpt_mgr.close()
     if bodies.n != n_real:
         bodies = bodies.unpad(n_real)
 

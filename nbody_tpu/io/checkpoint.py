@@ -52,3 +52,59 @@ def load_checkpoint(path: str | os.PathLike, dtype=None):
         with open(meta_path) as f:
             meta = json.load(f)
     return arr, meta
+
+
+class CheckpointManager:
+    """Rotating, optionally asynchronous checkpoint writer.
+
+    Keeps the latest checkpoint at `path` and up to `keep - 1` older ones at
+    `path.1`, `path.2`, ... (newest-first), each with its `.meta.json`
+    sidecar.  Writes go through a single background thread so a long run
+    never stalls on host I/O (device state is first pulled to host numpy,
+    which is the only synchronous part).  Call close() (or use as a context
+    manager) to flush pending writes.
+    """
+
+    def __init__(self, path: str | os.PathLike, *, keep: int = 1, async_io: bool = True):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self.path = os.fspath(path)
+        self.keep = max(1, int(keep))
+        self._pool = ThreadPoolExecutor(max_workers=1) if async_io else None
+        self._pending = None
+
+    def _rotate_and_write(self, host_bodies: Bodies, step: int, time: float) -> None:
+        if self.keep > 1 and os.path.exists(self.path):
+            for i in range(self.keep - 1, 0, -1):
+                src = self.path if i == 1 else f"{self.path}.{i - 1}"
+                if os.path.exists(src):
+                    os.replace(src, f"{self.path}.{i}")
+                    if os.path.exists(src + ".meta.json"):
+                        os.replace(src + ".meta.json", f"{self.path}.{i}.meta.json")
+        save_checkpoint(self.path, host_bodies, step=step, time=time)
+
+    def save(self, bodies: Bodies, *, step: int, time: float) -> None:
+        # Device -> host synchronously (cheap D2H), file I/O in background.
+        host = Bodies(
+            np.asarray(bodies.pos), np.asarray(bodies.vel), np.asarray(bodies.mass)
+        )
+        if self._pool is None:
+            self._rotate_and_write(host, step, time)
+            return
+        if self._pending is not None:
+            self._pending.result()  # keep at most one write in flight
+        self._pending = self._pool.submit(self._rotate_and_write, host, step, time)
+
+    def close(self) -> None:
+        if self._pending is not None:
+            self._pending.result()
+            self._pending = None
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+            self._pool = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -421,13 +421,26 @@ def barneshut_accelerations(
     return acc
 
 
-def check_capacities(pos, mass, **kw) -> BHStats:
+class CapacityError(RuntimeError):
+    """Static traversal capacities exceeded — results would drop sources.
+    The TPU-native analog of the reference's node-pool exhaustion abort
+    (openmp/barnes-hut.c:158-160)."""
+
+
+class ResolutionError(RuntimeError):
+    """A cluster denser than the terminal Morton resolution was COM-merged;
+    forces for those bodies are approximate beyond the theta contract."""
+
+
+def check_capacities(pos, mass, *, strict_resolution: bool = True, **kw) -> BHStats:
     """Run one traversal and fail fast if capacities overflowed — the
     TPU-native analog of the reference's node-pool exhaustion abort
-    (openmp/barnes-hut.c:158-160)."""
+    (openmp/barnes-hut.c:158-160).  With strict_resolution, terminal-cell
+    COM merging of over-dense clusters also raises (the reference resolves
+    clusters exactly via its unbounded leaf split, serial/barnes-hut.c:206-245)."""
     _, stats = barneshut_accelerations(pos, mass, return_stats=True, **kw)
     if stats.overflowed():
-        raise RuntimeError(
+        raise CapacityError(
             "Barnes-Hut capacity overflow: "
             f"need list={int(stats.traverse.max_list_needed)} "
             f"(have {stats.list_capacity}), "
@@ -438,11 +451,11 @@ def check_capacities(pos, mass, **kw) -> BHStats:
             "list_size/frontier_size/range_size"
         )
     term = int(stats.traverse.terminal_com_bodies)
-    if term > 0:
-        raise RuntimeError(
+    if strict_resolution and term > 0:
+        raise ResolutionError(
             f"Barnes-Hut terminal-resolution residual: up to {term} bodies "
             "per group were COM-merged in over-full terminal cells "
-            "(cluster denser than the depth-10 Morton resolution); "
+            "(cluster denser than the terminal Morton resolution); "
             "results are approximate beyond theta for those bodies"
         )
     return stats

@@ -55,3 +55,65 @@ def test_checkpoint_is_valid_input(tmp_path):
     np.testing.assert_allclose(
         rows_r[-10:, 1:4], rows_f[-10:, 1:4], atol=2e-6, rtol=0
     )
+
+
+def test_cli_resume_matches_uninterrupted(tmp_path):
+    """An interrupted-then-`--resume`d run must byte-match the
+    uninterrupted one: same frame count, same trajectory, no hand-computed
+    time arithmetic (the .meta.json time origin is consumed)."""
+    src = os.path.join(DATA_DIR, "10_bodies.csv")
+    out_full = tmp_path / "full.csv"
+    main([src, "0", "10", "0.1", str(out_full), "--dtype", "f64"])
+
+    # "Interrupted" run: stops at t=5 with a checkpoint at its last step.
+    out = tmp_path / "run.csv"
+    ck = tmp_path / "ck.csv"
+    main(
+        [
+            src, "0", "5", "0.1", str(out), "--dtype", "f64",
+            "--checkpoint-every", "25", "--checkpoint", str(ck),
+        ]
+    )
+    # Resume: positional start_time is a dummy; meta.json supplies t=5.
+    rc = main([str(ck), "0", "10", "0.1", str(out), "--resume", "--dtype", "f64"])
+    assert rc == 0
+
+    full = open(out_full).read()
+    resumed = open(out).read()
+    assert resumed == full  # byte-identical trajectory
+
+
+def test_cli_resume_write_every_stride(tmp_path):
+    """--resume keeps the GLOBAL frame numbering so --write-every strides
+    line up across the interruption."""
+    src = os.path.join(DATA_DIR, "10_bodies.csv")
+    out_full = tmp_path / "full.csv"
+    main([src, "0", "10", "0.1", str(out_full), "--write-every", "4",
+          "--dtype", "f64"])
+
+    out = tmp_path / "run.csv"
+    ck = tmp_path / "ck.csv"
+    main([src, "0", "5", "0.1", str(out), "--write-every", "4",
+          "--dtype", "f64", "--checkpoint-every", "50", "--checkpoint", str(ck)])
+    main([str(ck), "0", "10", "0.1", str(out), "--resume",
+          "--write-every", "4", "--dtype", "f64"])
+    assert open(out).read() == open(out_full).read()
+
+
+def test_checkpoint_rotation(tmp_path):
+    from nbody_tpu.core.types import Bodies
+    from nbody_tpu.io.checkpoint import CheckpointManager, load_checkpoint
+
+    arr = random_cloud(20, seed=7)
+    b = Bodies.from_numpy(arr, dtype=jnp.float64)
+    p = tmp_path / "ck.csv"
+    with CheckpointManager(p, keep=3) as mgr:
+        for step in (10, 20, 30, 40):
+            mgr.save(b, step=step, time=step * 0.1)
+    _, meta = load_checkpoint(p)
+    assert meta["step"] == 40
+    _, meta1 = load_checkpoint(f"{p}.1")
+    assert meta1["step"] == 30
+    _, meta2 = load_checkpoint(f"{p}.2")
+    assert meta2["step"] == 20
+    assert not os.path.exists(f"{p}.3")  # keep=3: oldest dropped

@@ -85,6 +85,25 @@ def test_cli_barnes_hut(tmp_path, capsys):
     )
 
 
+def test_cli_barnes_hut_capacity_abort(tmp_path, capsys):
+    """An input that overflows the static traversal capacities must abort
+    at startup with a capacity message and a non-zero exit — never run on
+    silently dropping sources (the reference aborts on node-pool
+    exhaustion, openmp/barnes-hut.c:158-160)."""
+    out = tmp_path / "bh.csv"
+    rc = main(
+        [
+            os.path.join(DATA_DIR, "100_bodies_g1.csv"),
+            "0", "1", "0.1",
+            str(out),
+            "--algo", "barnes-hut",
+            "--bh-list-size", "8",  # absurdly small: forces overflow
+        ]
+    )
+    assert rc == 3
+    assert "capacity overflow" in capsys.readouterr().err
+
+
 def test_cli_no_output(tmp_path, capsys):
     out = tmp_path / "none.csv"
     rc = main(
