@@ -142,3 +142,19 @@ def test_bh_on_plummer_cluster():
     got = np.asarray(acc)[idx]
     scale = np.abs(want).max()
     assert np.abs(got - want).max() / scale < 0.02
+
+
+def test_player_headless():
+    """2-D player smoke test under the SDL dummy driver (the analog of the
+    reference's utils/pygame-show.py viewer) — plays 5 frames and exits."""
+    import pytest
+
+    pytest.importorskip("pygame")
+    from nbody_tpu.utils.player import play, prepare
+
+    frames, _ = load_frames(GOLDEN_EXH)
+    sx, sy, bz = prepare(frames, 512, 384)
+    assert sx.shape == frames.shape[:2] and bz.min() >= 0 and bz.max() <= 255
+    os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
+    shown = play(GOLDEN_EXH, frames=5, fps=1000)
+    assert shown == 5

@@ -43,13 +43,15 @@ def bench(fn, *args, reps=5):
     return best
 
 
-def octet_loop(n_iter: int):
-    """The traversal-kernel inner-loop shape:
+def octet_loop(n_iter: int, level: int = 5):
+    """The traversal-kernel inner-loop shape, cumulative stages:
 
-    pop (SMEM stack) -> dynamic-sublane (1,128) load from a 5 MB table ->
-    4-way 32-lane window select -> 8-wide classify arithmetic -> mask
-    scalarization via VMEM roundtrip -> staging placement (repeat trick)
-    -> push two children (SMEM stores).  Reports ns per pop.
+    level 1: SMEM stack pop + pushes only (scalar loop floor)
+    level 2: + dynamic-sublane (1,128) row load + 4 dynamic lane rolls
+    level 3: + 8-wide classify arithmetic + mask scalarization (1 reduce)
+    level 4: + staging placement (4x repeat + lane-mask select) + flush
+    level 5: + near extraction fori (16 masked reduces + SMEM stores)
+    Reports ns per pop.
     """
     import jax
     import jax.numpy as jnp
@@ -58,8 +60,9 @@ def octet_loop(n_iter: int):
 
     ROWS = 10240  # ~5 MB f32 table
 
-    def kern(tab_ref, o_ref, stack, acc):
+    def kern(tab_ref, o_ref, stack, accx, accy, accz, accg):
         lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        l8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
 
         stack[0] = 0
         o_ref[...] = jnp.zeros_like(o_ref)
@@ -68,47 +71,68 @@ def octet_loop(n_iter: int):
             i, sp, ncom, h = c
             sp = sp - 1
             e = stack[sp]
-            row = (e >> 2) % ROWS
-            sl = e & 3
-            frow = tab_ref[pl.ds(row, 1), :]  # (1, 128) dynamic sublane
-            w = jax.lax.cond(
-                sl < 2,
-                lambda: jax.lax.cond(
-                    sl == 0, lambda: frow[:, 0:32], lambda: frow[:, 32:64]
-                ),
-                lambda: jax.lax.cond(
-                    sl == 2, lambda: frow[:, 64:96], lambda: frow[:, 96:128]
-                ),
-            )
-            cx8, cy8 = w[:, 0:8], w[:, 8:16]
-            cz8, gm8 = w[:, 16:24], w[:, 24:32]
-            # classify-like vector arithmetic
-            dx = jnp.maximum(cx8 - 1.0, 0.0) + jnp.maximum(-1.0 - cx8, 0.0)
-            dy = jnp.maximum(cy8 - 1.0, 0.0) + jnp.maximum(-1.0 - cy8, 0.0)
-            dz = jnp.maximum(cz8 - 1.0, 0.0) + jnp.maximum(-1.0 - cz8, 0.0)
-            d2 = dx * dx + dy * dy + dz * dz
-            far8 = d2 > 0.5
-            # scalarize the mask via a lane reduction (scalar stores to
-            # VMEM are rejected; reductions lower to usable scalars)
-            l8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
-            b = jnp.sum(jnp.where(far8, jnp.int32(1) << l8, 0))
-            # per-lane value extraction (the cptr pattern): masked reduce
-            c0 = jnp.sum(jnp.where(l8 == (b & 7), cx8, 0.0))
-            b = b + (c0 > 1e30).astype(jnp.int32)  # keep c0 live, no effect
-            # staging placement: (4,8) tile -> repeat -> masked select
-            tile8 = jnp.concatenate(
-                [cx8, cy8, cz8, jnp.where(far8, gm8, 0.0)], axis=0
-            )  # (4, 8)
-            tile = pltpu.repeat(tile8, 16, axis=1)  # (4, 128)
-            slot = (ncom >> 3) & 15
-            m = (lanes >> 3) == slot
-            acc[...] = jnp.where(m, tile, acc[...])
-            ncom = ncom + 8
+            b = e & 1
+            if level >= 2:
+                row = (e >> 2) % ROWS
+                base = (e & 3) * 32
+                frow = tab_ref[pl.ds(row, 1), :]  # (1,128) dynamic sublane
+                # field windows via dynamic lane rotation (see mb_probe)
+                cx8 = pltpu.roll(frow, (128 - base) & 127, axis=1)[:, 0:8]
+                cy8 = pltpu.roll(frow, (120 - base) & 127, axis=1)[:, 0:8]
+                cz8 = pltpu.roll(frow, (112 - base) & 127, axis=1)[:, 0:8]
+                gm8 = pltpu.roll(frow, (104 - base) & 127, axis=1)[:, 0:8]
+            if level >= 3:
+                # classify-like vector arithmetic (AABB distance + MAC)
+                dx = jnp.maximum(cx8 - 1.0, 0.0) + jnp.maximum(-1.0 - cx8, 0.0)
+                dy = jnp.maximum(cy8 - 1.0, 0.0) + jnp.maximum(-1.0 - cy8, 0.0)
+                dz = jnp.maximum(cz8 - 1.0, 0.0) + jnp.maximum(-1.0 - cz8, 0.0)
+                d2 = dx * dx + dy * dy + dz * dz
+                far8 = (d2 > 0.5) & (gm8 > 0.0)
+                near8 = (d2 <= 0.5) & (gm8 > 0.0)
+                # one combined mask scalarization (far bits | near bits << 8)
+                bits = jnp.sum(
+                    jnp.where(far8, jnp.int32(1) << l8, 0)
+                    + jnp.where(near8, jnp.int32(1) << (l8 + 8), 0)
+                )
+                b = bits & 1
+                nb = bits >> 8
+            if level >= 4:
+                # staging placement: planar accumulators, repeat + lane mask
+                slot = (ncom >> 3) & 15
+                m = (lanes >> 3) == slot
+                accx[...] = jnp.where(m, pltpu.repeat(cx8, 16, axis=1), accx[...])
+                accy[...] = jnp.where(m, pltpu.repeat(cy8, 16, axis=1), accy[...])
+                accz[...] = jnp.where(m, pltpu.repeat(cz8, 16, axis=1), accz[...])
+                accg[...] = jnp.where(
+                    m,
+                    pltpu.repeat(jnp.where(far8, gm8, 0.0), 16, axis=1),
+                    accg[...],
+                )
+                ncom = ncom + 8
 
-            @pl.when((ncom & 127) == 0)
-            def _():
-                base = pl.multiple_of(((ncom - 128) >> 7) % 8 * 128, 128)
-                o_ref[0:4, pl.ds(base, 128)] = acc[...]
+                @pl.when((ncom & 127) == 0)
+                def _():
+                    base_o = pl.multiple_of(((ncom - 128) >> 7) % 8 * 128, 128)
+                    o_ref[0:1, pl.ds(base_o, 128)] = accx[...]
+                    o_ref[1:2, pl.ds(base_o, 128)] = accy[...]
+                    o_ref[2:3, pl.ds(base_o, 128)] = accz[...]
+                    o_ref[3:4, pl.ds(base_o, 128)] = accg[...]
+
+            if level >= 5:
+                # near-range extraction: per set bit, 2 masked reduces + 2
+                # SMEM stores (start/count scalarization)
+                def near_k(k, sp2):
+                    hit = ((nb >> k) & 1) > 0
+                    s_k = jnp.sum(jnp.where(l8 == k, cx8, 0.0)).astype(jnp.int32)
+                    c_k = jnp.sum(jnp.where(l8 == k, gm8, 0.0)).astype(jnp.int32)
+
+                    @pl.when(hit)
+                    def _():
+                        stack[1000 + (i & 7)] = s_k + c_k
+
+                    return sp2 + jnp.where(hit, 0, 0)
+
+                sp = jax.lax.fori_loop(0, 8, near_k, sp)
 
             # push two children (scalar SMEM stores at dynamic index)
             h2 = (h * 1103515245 + 12345) & 0x7FFFFFFF
@@ -132,13 +156,16 @@ def octet_loop(n_iter: int):
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.SMEM((1024,), jnp.int32),
-                pltpu.VMEM((4, 128), jnp.float32),
+                pltpu.SMEM((1024 + 8,), jnp.int32),
+                pltpu.VMEM((1, 128), jnp.float32),
+                pltpu.VMEM((1, 128), jnp.float32),
+                pltpu.VMEM((1, 128), jnp.float32),
+                pltpu.VMEM((1, 128), jnp.float32),
             ],
         )(t)
     )
     dt = bench(f, tab)
-    print(f"octet pop loop: {dt / n_iter * 1e9:.1f} ns/pop "
+    print(f"octet pop loop (level {level}): {dt / n_iter * 1e9:.1f} ns/pop "
           f"({n_iter} pops, {dt * 1e3:.1f} ms)", flush=True)
 
 
@@ -213,7 +240,11 @@ def main():
     import jax
 
     print(f"backend: {jax.default_backend()}", flush=True)
-    octet_loop(1 << 19)
+    import sys as _sys
+
+    levels = [int(a) for a in _sys.argv[1:]] or [1, 2, 3, 4, 5]
+    for lv in levels:
+        octet_loop(1 << 19, level=lv)
     range_dma(1 << 16)
 
 
