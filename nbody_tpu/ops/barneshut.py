@@ -184,6 +184,75 @@ def effective_leaf_cap(n: int, group_size: int, leaf_cap: int) -> int:
     return auto_layout(n, group_size or 512, leaf_cap)[2]
 
 
+def group_bodies(
+    keys_s, n: int, depth: int, group_size: int, split_level: int,
+    groups_multiple: int = 1,
+):
+    """Cell-aligned grouping of Morton-sorted bodies (see _prepare's
+    docstring for why chunks must not cross coarse-cell boundaries).
+
+    Returns (gstart (G,), gcount (G,), group_idx (G, B), group_valid (G, B))
+    with static capacity G = n // B + #split-cells + 1, rounded up to
+    `groups_multiple`.  Shared by the level-tree path (_prepare) and the
+    fused-kernel path (nbody_tpu.ops.bh_fused)."""
+    b = group_size
+    sl = min(split_level, depth)
+    cell = keys_s >> (3 * (depth - sl))  # coarse cell per sorted body
+    first_in_cell = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), cell[1:] != cell[:-1]]
+    )
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # index of the first body of this body's cell, via running maximum
+    cell_start = jax.lax.cummax(jnp.where(first_in_cell, idx, 0))
+    offset_in_cell = idx - cell_start
+    new_group = first_in_cell | (offset_in_cell % b == 0)
+    gid = jnp.cumsum(new_group.astype(jnp.int32)) - 1
+
+    # static capacity: every cell adds at most one partial chunk
+    g_max = n // b + min(8**sl, n) + 1
+    g_max = ((g_max + groups_multiple - 1) // groups_multiple) * groups_multiple
+    gstart = jax.ops.segment_min(idx, gid, num_segments=g_max)
+    gcount = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), gid, num_segments=g_max)
+    gstart = jnp.where(gcount > 0, gstart, 0)
+
+    slots = jnp.arange(b, dtype=jnp.int32)[None, :]
+    group_valid = slots < gcount[:, None]  # (G, B)
+    # Pad slots repeat the group's FIRST body (never a neighbor group's —
+    # that would inflate the bounding box up to the whole domain) so the
+    # force kernel does harmless duplicate work that is dropped on the
+    # scatter-back.
+    group_idx = jnp.clip(
+        jnp.where(group_valid, gstart[:, None] + slots, gstart[:, None]),
+        0,
+        n - 1,
+    )
+    return gstart, gcount, group_idx, group_valid
+
+
+def compact_groups(gstart, gcount, group_idx, group_valid, keep: int):
+    """Pack occupied groups to the front and trim capacity to `keep`.
+
+    group_bodies' static capacity reserves one slot per split-level cell;
+    at large N most slots are empty and a per-group kernel would burn a
+    grid step on each.  Ordering is irrelevant to the force sum, so sort
+    groups by emptiness (stable, preserving Morton order of the occupied
+    ones) and keep a static `keep` prefix.  Returns the packed arrays plus
+    the number of OCCUPIED groups that were trimmed (must be 0 for correct
+    forces — callers fold it into their overflow stats)."""
+    g_max = gstart.shape[0]
+    keep = min(keep, g_max)
+    order = jnp.argsort((gcount == 0).astype(jnp.int32), stable=True)
+    gc_sorted = jnp.take(gcount, order, axis=0)
+    trimmed = jnp.sum((gc_sorted[keep:] > 0).astype(jnp.int32))
+    return (
+        jnp.take(gstart, order, axis=0)[:keep],
+        gc_sorted[:keep],
+        jnp.take(group_idx, order, axis=0)[:keep],
+        jnp.take(group_valid, order, axis=0)[:keep],
+        trimmed,
+    )
+
+
 def _prepare(
     pos,
     mass,
@@ -227,37 +296,11 @@ def _prepare(
         # round down) — over-coarse cells make group boxes huge and the
         # traversal near field degenerates toward O(N) per group.
         split_level = max(0, math.ceil(math.log(max(n / b, 1.0), 8)))
-    sl = min(split_level, depth)
-    cell = keys_s >> (3 * (depth - sl))  # coarse cell per sorted body
-    first_in_cell = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), cell[1:] != cell[:-1]]
+    gstart, gcount, group_idx, group_valid = group_bodies(
+        keys_s, n, depth, b, split_level, groups_multiple
     )
-    idx = jnp.arange(n, dtype=jnp.int32)
-    # index of the first body of this body's cell, via running maximum
-    cell_start = jax.lax.cummax(jnp.where(first_in_cell, idx, 0))
-    offset_in_cell = idx - cell_start
-    new_group = first_in_cell | (offset_in_cell % b == 0)
-    gid = jnp.cumsum(new_group.astype(jnp.int32)) - 1
-
-    # static capacity: every cell adds at most one partial chunk
-    g_max = n // b + min(8**sl, n) + 1
-    g_max = ((g_max + groups_multiple - 1) // groups_multiple) * groups_multiple
-    gstart = jax.ops.segment_min(idx, gid, num_segments=g_max)
-    gcount = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), gid, num_segments=g_max)
-    gstart = jnp.where(gcount > 0, gstart, 0)
-
-    slots = jnp.arange(b, dtype=jnp.int32)[None, :]
-    group_valid = slots < gcount[:, None]  # (G, B)
-    # Pad slots repeat the group's FIRST body (never a neighbor group's —
-    # that would inflate the bounding box up to the whole domain) so the
-    # force kernel does harmless duplicate work that is dropped on the
-    # scatter-back; empty groups get a far-away box so the root is
-    # accepted immediately and their traversal terminates at level 0.
-    group_idx = jnp.clip(
-        jnp.where(group_valid, gstart[:, None] + slots, gstart[:, None]),
-        0,
-        n - 1,
-    )
+    # Empty groups get a far-away box below so the root is accepted
+    # immediately and their traversal terminates at level 0.
     pg = pos_s[group_idx]  # (G, B, 3)
     empty = (gcount == 0)[:, None]
     lo = jnp.where(empty, _FAR, jnp.min(pg, axis=1))

@@ -1,0 +1,576 @@
+"""Fused Barnes-Hut traverse+evaluate Pallas kernel over the dense grid.
+
+The XLA flat traversal (nbody_tpu.ops.bh_traverse_flat) materializes
+per-group source lists in HBM through ~10-20M one-element gathers and
+scatters per 1M-body force eval (~29 ns each on this stack — the measured
+bottleneck, docs/PERFORMANCE.md).  This kernel removes the materialization
+entirely: each grid program traverses the octree for ONE Morton body group
+and evaluates accepted sources in 128-lane bursts while they are still in
+VMEM.  It is the TPU answer to the CUDA warp traversal + shared-memory
+interaction list (cuda/barnes-hut.cu:459-629), built from the addressing
+rules pinned by tools/mb_probe.py and the stage costs from
+tools/mb_kernel.py:
+
+  * the octree is the DENSE grid of nbody_tpu.ops.bh_grid packed into two
+    VMEM-resident tables addressed by octet (8 siblings): a float table
+    [cx8|cy8|cz8|gm8] (4 octets/row) and an int table [start8|count8]
+    (8 octets/row) — children of cell c are ALWAYS octet c of the next
+    level, so the traversal stack holds bare (level, octet) ints in SMEM;
+  * classification is 8-wide VPU work on one dynamically-rolled row; ONE
+    vector->scalar reduction per pop returns all three masks as packed
+    bits (the reduction is the measured 200 ns serial cost per pop —
+    everything else rides in its shadow);
+  * far-accepted COMs are staged into a (4, 128) accumulator with the
+    repeat+lane-mask trick; near cells stage (start, count) the same way
+    and are bulk-scalarized 128 at a time via a VMEM->SMEM DMA (per-
+    sibling masked-reduce extraction measured 3.8x slower);
+  * near ranges merge into maximal contiguous runs (Morton-sorted bodies
+    make sibling leaf ranges adjacent) and stream from HBM as 128-aligned
+    planar windows via async DMA;
+  * every 128 staged sources become one row of a (RB, 4, 128) source
+    buffer; full buffers evaluate against the group's (B, 4) body block
+    with the same (B,1)x(1,128) softened kernel as the exhaustive path,
+    so a body's own near-field entry contributes exactly zero force
+    (dx = 0), preserving the reference's self-exclusion
+    (serial/barnes-hut.c:411).
+
+Unlike the list-based paths there are NO list capacities to overflow and
+no terminal-COM residual: over-full terminal cells ship their bodies
+exactly (the role of the reference's unbounded leaf split,
+serial/barnes-hut.c:206-245), so clustered inputs get exact-at-theta
+forces at a cost bounded by the cluster population.  The only capacity is
+the 512-entry DFS stack (depth 6 needs < 50), runtime-checked via the
+per-group stats output.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nbody_tpu.core import constants
+from nbody_tpu.ops.bh_grid import build_grid, grid_offsets
+from nbody_tpu.ops.barneshut import compact_groups, group_bodies
+from nbody_tpu.ops.morton import morton_sort
+
+STACK_CAP = 512
+_LV_SHIFT = 20  # stack entry = (parent_level << 20) | octet_id
+_OT_MASK = (1 << _LV_SHIFT) - 1
+
+# stats lanes (per group)
+S_POPS, S_SRC, S_NEAR, S_OVF, S_ROWS = 0, 1, 2, 3, 4
+
+
+def pack_tables(tree, ld: int):
+    """GridTree -> (ft (RF,128) f32, it (RI,128) i32) octet tables.
+
+    Octet `ot` = OOFF[d] + c covers the 8 children (at level d+1) of cell
+    c at level d, with OOFF[d] = (8^d - 1) // 7.  ft row ot>>2 holds 4
+    octets of [cx8|cy8|cz8|gm8]; it row ot>>3 holds 8 octets of
+    [start8|count8].
+    """
+    n_oct = grid_offsets(ld)[ld]  # octets with parent levels 0..ld-1
+    # children cells = dense cells of levels 1..ld, in grid order
+    def octs(a):
+        return a[0, 1 : 1 + 8 * n_oct].reshape(n_oct, 8)
+
+    p4 = -(-n_oct // 4) * 4
+    f = jnp.stack(
+        [octs(tree.cx), octs(tree.cy), octs(tree.cz), octs(tree.gm)], axis=1
+    )  # (n_oct, 4, 8)
+    f = jnp.pad(f, ((0, p4 - n_oct), (0, 0), (0, 0)))
+    ft = f.reshape(p4 // 4, 128)
+
+    p8 = -(-n_oct // 8) * 8
+    i = jnp.stack([octs(tree.start), octs(tree.cnt)], axis=1)  # (n_oct, 2, 8)
+    i = jnp.pad(i, ((0, p8 - n_oct), (0, 0), (0, 0)))
+    it = i.reshape(p8 // 8, 128).astype(jnp.int32)
+    return ft, it
+
+
+def _fused_kernel(
+    # inputs
+    gcount_ref,  # SMEM (G,) i32 — bodies per group (full array)
+    bsq_ref,  # SMEM (16,) f32 — (border / 2^l)^2 per level
+    ooff_ref,  # SMEM (16,) i32 — octet offsets per parent level
+    ft_ref,  # VMEM (RF, 128) f32 — octet field table
+    it_ref,  # VMEM (RI, 128) i32 — octet start/count table
+    pg_ref,  # VMEM (1, B, 4) f32 — group bodies [x y z 0]
+    ps_ref,  # ANY (4, NP) f32 — planar sorted sources [x; y; z; Gm]
+    # outputs
+    acc_ref,  # VMEM (1, B, 4) f32
+    stats_ref,  # SMEM (G, 8) i32 (full array; row per program)
+    # scratch
+    st,  # SMEM (16,) i32 — kernel state
+    stack,  # SMEM (STACK_CAP,) i32
+    rowmeta,  # SMEM (RB, 4) i32 — [is_dma, mask_start, mask_end, _]
+    rsm,  # SMEM (2, 128) i32 — bulk-scalarized ranges
+    srcacc,  # VMEM (4, 128) f32 — COM staging accumulator
+    rngs,  # VMEM (1, 128) i32 — near-range start staging
+    rngc,  # VMEM (1, 128) i32 — near-range count staging
+    src,  # VMEM (RB, 4, 128) f32 — staged source rows
+    ax,  # VMEM (B, 1) f32
+    ay,  # VMEM (B, 1) f32
+    az,  # VMEM (B, 1) f32
+    sems,  # DMA sems (RB,)
+    vsem,  # DMA sems (3,) — rng bulk x2, COM row flush
+    *,
+    theta_sq: float,
+    eps2: float,
+    leaf_cap: int,
+    ld: int,
+    rb: int,
+):
+    SP, NSRC, NRNG, ROWS, PEND_S, PEND_E, POPS, NNEAR, TSRC = range(9)
+    g = pl.program_id(0)
+    lanes = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    l8 = lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+
+    for k in range(9):
+        st[k] = 0
+    ax[...] = jnp.zeros_like(ax)
+    ay[...] = jnp.zeros_like(ay)
+    az[...] = jnp.zeros_like(az)
+    # fresh scratch can hold NaN bit patterns; a NaN coordinate row would
+    # poison the whole accumulation through 0 * NaN — zero it all
+    srcacc[...] = jnp.zeros_like(srcacc)
+    rngc[...] = jnp.zeros_like(rngc)
+    stats_ref[g, S_OVF] = 0  # set to 1 on stack overflow, never cleared
+    stats_ref[g, 5] = 0
+    stats_ref[g, 6] = 0
+    stats_ref[g, 7] = 0
+
+    pgb = pg_ref[0]  # (B, 4)
+    xi, yi, zi = pgb[:, 0:1], pgb[:, 1:2], pgb[:, 2:3]
+
+    # ---- burst: evaluate all staged source rows against the group -------
+    def burst():
+        nrows = st[ROWS]
+
+        def brow(r, _):
+            @pl.when(r < nrows)
+            def _():
+                @pl.when(rowmeta[r, 0] == 1)
+                def _():
+                    # wait the body-window DMA for this row (descriptor
+                    # shape matches; offsets irrelevant for the wait)
+                    pltpu.make_async_copy(
+                        ps_ref.at[:, pl.ds(0, 128)], src.at[r], sems.at[r]
+                    ).wait()
+
+                ms, me = rowmeta[r, 1], rowmeta[r, 2]
+                sxr = src[r, 0:1, :]
+                syr = src[r, 1:2, :]
+                szr = src[r, 2:3, :]
+                sgr = jnp.where(
+                    (lanes >= ms) & (lanes < me), src[r, 3:4, :], 0.0
+                )
+                dx = sxr - xi  # (B, 128)
+                dy = syr - yi
+                dz = szr - zi
+                r2 = dx * dx + dy * dy + dz * dz + eps2
+                inv = lax.rsqrt(r2)
+                w = sgr * (inv * inv * inv)
+                ax[...] += jnp.sum(w * dx, axis=1, keepdims=True)
+                ay[...] += jnp.sum(w * dy, axis=1, keepdims=True)
+                az[...] += jnp.sum(w * dz, axis=1, keepdims=True)
+
+            return 0
+
+        lax.fori_loop(0, rb, brow, 0)
+        st[ROWS] = 0
+
+    # ---- row allocation (bursts when the buffer is full) ----------------
+    def alloc_row():
+        @pl.when(st[ROWS] == rb)
+        def _():
+            burst()
+
+        row = st[ROWS]
+        st[ROWS] = row + 1
+        return row
+
+    def flush_com_row():
+        row = alloc_row()
+        cp = pltpu.make_async_copy(srcacc, src.at[row], vsem.at[2])
+        cp.start()
+        cp.wait()
+        rowmeta[row, 0] = 0
+        rowmeta[row, 1] = 0
+        rowmeta[row, 2] = 128
+        srcacc[3:4, :] = jnp.zeros((1, 128), jnp.float32)
+
+    # ---- near-range plumbing ---------------------------------------------
+    def flush_pending():
+        s, e = st[PEND_S], st[PEND_E]
+        st[NNEAR] = st[NNEAR] + (e - s)
+
+        def wcond(w):
+            return w < e
+
+        def wbody(w):
+            row = alloc_row()
+            wa = pl.multiple_of(w, 128)
+            pltpu.make_async_copy(
+                ps_ref.at[:, pl.ds(wa, 128)], src.at[row], sems.at[row]
+            ).start()
+            rowmeta[row, 0] = 1
+            rowmeta[row, 1] = jnp.maximum(s - w, 0)
+            rowmeta[row, 2] = jnp.minimum(e - w, 128)
+            return w + 128
+
+        lax.while_loop(wcond, wbody, (s >> 7) << 7)
+
+    def bulk_ranges():
+        # scalarize 128 staged (start, count) pairs with one DMA pair
+        c0 = pltpu.make_async_copy(rngs, rsm.at[0:1, :], vsem.at[0])
+        c1 = pltpu.make_async_copy(rngc, rsm.at[1:2, :], vsem.at[1])
+        c0.start()
+        c1.start()
+        c0.wait()
+        c1.wait()
+
+        def lane_k(k, _):
+            c = rsm[1, k]
+
+            @pl.when(c > 0)
+            def _():
+                s = rsm[0, k]
+                pe = st[PEND_E]
+
+                @pl.when(s == pe)  # contiguous: extend the pending run
+                def _():
+                    st[PEND_E] = pe + c
+
+                @pl.when(s != pe)
+                def _():
+                    flush_pending()
+                    st[PEND_S] = s
+                    st[PEND_E] = s + c
+
+            return 0
+
+        lax.fori_loop(0, 128, lane_k, 0)
+        rngc[...] = jnp.zeros_like(rngc)
+        st[NRNG] = 0
+
+    # ---- group bounding box (pad slots repeat body 0: box stays tight) --
+    lox, hix = jnp.min(xi), jnp.max(xi)
+    loy, hiy = jnp.min(yi), jnp.max(yi)
+    loz, hiz = jnp.min(zi), jnp.max(zi)
+
+    # ---- DFS over octets -------------------------------------------------
+    # The stack pointer is the while CARRY, not SMEM state: a while_loop
+    # condition must be pure in its carry (a Ref read in the condition is
+    # hoisted by state discharge and the loop never terminates).
+    stack[0] = 0  # (level 0) << 20 | octet 0 = the root's children
+
+    def pop_cond(sp):
+        return sp > 0
+
+    def pop_body(sp):
+        sp = sp - 1
+        st[POPS] = st[POPS] + 1
+        e = stack[sp]
+        d = e >> _LV_SHIFT  # parent level; children live at d + 1
+        ot = e & _OT_MASK
+
+        frow = ft_ref[pl.ds(ot >> 2, 1), :]
+        fb = (ot & 3) * 32
+        cx8 = pltpu.roll(frow, (128 - fb) & 127, axis=1)[:, 0:8]
+        cy8 = pltpu.roll(frow, (120 - fb) & 127, axis=1)[:, 0:8]
+        cz8 = pltpu.roll(frow, (112 - fb) & 127, axis=1)[:, 0:8]
+        gm8 = pltpu.roll(frow, (104 - fb) & 127, axis=1)[:, 0:8]
+        irow = it_ref[pl.ds(ot >> 3, 1), :]
+        ib = (ot & 7) * 16
+        st8 = pltpu.roll(irow, (128 - ib) & 127, axis=1)[:, 0:8]
+        ct8 = pltpu.roll(irow, (120 - ib) & 127, axis=1)[:, 0:8]
+
+        # MAC: distance from child COM to the group AABB vs child size
+        ddx = cx8 - jnp.clip(cx8, lox, hix)
+        ddy = cy8 - jnp.clip(cy8, loy, hiy)
+        ddz = cz8 - jnp.clip(cz8, loz, hiz)
+        d2 = ddx * ddx + ddy * ddy + ddz * ddz
+        exists = ct8 > 0
+        far8 = exists & (theta_sq * d2 > bsq_ref[d + 1])
+        if ld > 1:
+            terminal = d + 1 >= ld
+        else:
+            terminal = True
+        near8 = exists & ~far8 & ((ct8 <= leaf_cap) | terminal)
+        open8 = exists & ~far8 & ~near8
+        # ONE vector->scalar reduction per pop: all three masks as bits
+        bits = jnp.sum(
+            jnp.where(far8, jnp.int32(1) << l8, 0)
+            + jnp.where(open8, jnp.int32(1) << (l8 + 8), 0)
+            + jnp.where(near8, jnp.int32(1) << (l8 + 16), 0)
+        )
+
+        @pl.when((bits & 0xFF) > 0)  # ---- stage far COMs ----
+        def _():
+            nsrc = st[NSRC]
+            m = (lanes >> 3) == ((nsrc >> 3) & 15)
+            srcacc[0:1, :] = jnp.where(m, pltpu.repeat(cx8, 16, axis=1), srcacc[0:1, :])
+            srcacc[1:2, :] = jnp.where(m, pltpu.repeat(cy8, 16, axis=1), srcacc[1:2, :])
+            srcacc[2:3, :] = jnp.where(m, pltpu.repeat(cz8, 16, axis=1), srcacc[2:3, :])
+            srcacc[3:4, :] = jnp.where(
+                m,
+                pltpu.repeat(jnp.where(far8, gm8, 0.0), 16, axis=1),
+                srcacc[3:4, :],
+            )
+            st[NSRC] = nsrc + 8
+            st[TSRC] = st[TSRC] + 8
+
+            @pl.when(((nsrc + 8) & 127) == 0)
+            def _():
+                flush_com_row()
+
+        @pl.when((bits >> 16) > 0)  # ---- stage near ranges ----
+        def _():
+            nr = st[NRNG]
+            m = (lanes >> 3) == ((nr >> 3) & 15)
+            rngs[...] = jnp.where(m, pltpu.repeat(st8, 16, axis=1), rngs[...])
+            rngc[...] = jnp.where(
+                m, pltpu.repeat(jnp.where(near8, ct8, 0), 16, axis=1), rngc[...]
+            )
+            st[NRNG] = nr + 8
+
+            @pl.when(((nr + 8) & 127) == 0)
+            def _():
+                bulk_ranges()
+
+        obits = (bits >> 8) & 0xFF
+        ob = ooff_ref[d + 1] + 8 * (ot - ooff_ref[d])
+
+        def push_k(k, sp2):  # ---- push open children ----
+            hit = ((obits >> k) & 1) > 0
+
+            @pl.when(hit & (sp2 < STACK_CAP))
+            def _():
+                stack[sp2] = ((d + 1) << _LV_SHIFT) | (ob + k)
+
+            return sp2 + jnp.where(hit, 1, 0)
+
+        sp2 = lax.fori_loop(0, 8, push_k, sp)
+
+        @pl.when(sp2 > STACK_CAP)
+        def _():
+            stats_ref[g, S_OVF] = 1
+
+        return jnp.minimum(sp2, STACK_CAP)
+
+    @pl.when(gcount_ref[g] > 0)
+    def _():
+        lax.while_loop(pop_cond, pop_body, 1)
+        # drain: staged ranges -> pending -> windows; partial COM row; eval
+        bulk_ranges()
+        flush_pending()
+        st[PEND_S] = 0
+        st[PEND_E] = 0
+
+        @pl.when((st[NSRC] & 127) != 0)
+        def _():
+            flush_com_row()  # unfilled lanes carry gm = 0
+
+        burst()
+
+    acc_ref[0, :, 0:1] = ax[...]
+    acc_ref[0, :, 1:2] = ay[...]
+    acc_ref[0, :, 2:3] = az[...]
+    acc_ref[0, :, 3:4] = jnp.zeros_like(ax)
+    stats_ref[g, S_POPS] = st[POPS]
+    stats_ref[g, S_SRC] = st[TSRC]
+    stats_ref[g, S_NEAR] = st[NNEAR]
+    stats_ref[g, S_ROWS] = 0
+
+
+def fused_group_forces(
+    gcount,
+    pg,
+    ft,
+    it,
+    ps,
+    bsq,
+    ooff,
+    *,
+    theta: float,
+    eps2: float,
+    leaf_cap: int,
+    ld: int,
+    burst_rows: int = 16,
+    interpret: bool = False,
+):
+    """Run the fused kernel: (G,B,3) accelerations + (G,8) stats."""
+    n_groups, b, _ = pg.shape
+    rb = burst_rows
+    grid = (n_groups,)
+    kern = functools.partial(
+        _fused_kernel,
+        theta_sq=float(theta) * float(theta),
+        eps2=float(eps2),
+        leaf_cap=int(leaf_cap),
+        ld=int(ld),
+        rb=rb,
+    )
+    acc, stats = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, 4), lambda g: (g, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b, 4), lambda g: (g, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_groups, b, 4), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups, 8), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((16,), jnp.int32),
+            pltpu.SMEM((STACK_CAP,), jnp.int32),
+            pltpu.SMEM((rb, 4), jnp.int32),
+            pltpu.SMEM((2, 128), jnp.int32),
+            pltpu.VMEM((4, 128), jnp.float32),
+            pltpu.VMEM((1, 128), jnp.int32),
+            pltpu.VMEM((1, 128), jnp.int32),
+            pltpu.VMEM((rb, 4, 128), jnp.float32),
+            pltpu.VMEM((b, 1), jnp.float32),
+            pltpu.VMEM((b, 1), jnp.float32),
+            pltpu.VMEM((b, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((rb,)),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(gcount, bsq, ooff, ft, it, pg, ps)
+    return acc[:, :, :3], stats
+
+
+def auto_ld(n: int) -> int:
+    """Dense-grid terminal level: ~16 bodies per terminal cell, clamped to
+    [2, 6] (level 6 keeps the packed tables VMEM-resident: 4.8 + 2.4 MB)."""
+    return min(6, max(2, math.ceil(math.log(max(n / 16.0, 1.0), 8))))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "G",
+        "softening_sq",
+        "theta",
+        "ld",
+        "leaf_cap",
+        "group_size",
+        "burst_rows",
+        "interpret",
+        "return_stats",
+    ),
+)
+def barneshut_fused(
+    pos: jax.Array,
+    mass: jax.Array,
+    *,
+    G: float = constants.BIG_G,
+    softening_sq: float = constants.SOFTENING_SQ,
+    theta: float = constants.THETA,
+    ld: int = 0,
+    leaf_cap: int = 64,
+    group_size: int = 1024,
+    burst_rows: int = 16,
+    interpret: bool = False,
+    return_stats: bool = False,
+):
+    """Barnes-Hut accelerations through the fused Pallas kernel (ForceFn
+    signature).  f32 compute; exact (not COM-merged) forces for clusters
+    denser than the grid's terminal resolution."""
+    n = pos.shape[0]
+    dtype = pos.dtype
+    if ld == 0:
+        ld = auto_ld(n)
+    depth = 10
+    b = group_size
+    # split level so cells hold ~2B bodies: chunks of B inside a cell are
+    # then mostly FULL (fuller blocks amortize the per-group traversal and
+    # waste no eval lanes on padding), and the group count stays near
+    # n / B + #occupied cells ~ 1.5 * n / B (bounds `keep` below).
+    sl = max(0, math.ceil(math.log(max(n / (2 * b), 1.0), 8)))
+
+    perm, keys, border = morton_sort(pos, depth)
+    pos_s = pos[perm].astype(jnp.float32)
+    gm_s = (jnp.asarray(G, jnp.float32) * mass[perm]).astype(jnp.float32)
+    keys_s = keys[perm]
+
+    tree = build_grid(pos_s, gm_s, keys_s, depth, ld)
+    ft, it = pack_tables(tree, ld)
+
+    gstart, gcount, group_idx, group_valid = group_bodies(
+        keys_s, n, depth, b, sl
+    )
+    keep = min(gstart.shape[0], 3 * (n // b) + 256)
+    gstart, gcount, group_idx, group_valid, trimmed = compact_groups(
+        gstart, gcount, group_idx, group_valid, keep
+    )
+    pg = jnp.concatenate(
+        [pos_s[group_idx], jnp.zeros((keep, b, 1), jnp.float32)], axis=-1
+    )
+
+    np_pad = -(-n // 128) * 128
+    ps = jnp.concatenate(
+        [pos_s.T, gm_s[None, :]], axis=0
+    )  # (4, N)
+    ps = jnp.pad(ps, ((0, 0), (0, np_pad - n)))
+
+    lev = jnp.arange(16, dtype=jnp.float32)
+    bsq = (border.astype(jnp.float32) / jnp.exp2(lev)) ** 2
+    # octet offsets fit int32 only up to level 7 — all the kernel visits
+    ooff = jnp.asarray(grid_offsets(6), jnp.int32)
+    ooff = jnp.pad(ooff, (0, 16 - ooff.shape[0]))
+
+    acc_g, stats = fused_group_forces(
+        gcount,
+        pg,
+        ft,
+        it,
+        ps,
+        bsq,
+        ooff,
+        theta=theta,
+        eps2=softening_sq,
+        leaf_cap=leaf_cap,
+        ld=ld,
+        burst_rows=burst_rows,
+        interpret=interpret,
+    )
+
+    dest = jnp.where(group_valid, group_idx, n)  # n -> dropped
+    acc_s = (
+        jnp.zeros((n, 3), jnp.float32)
+        .at[dest.reshape(-1)]
+        .set(acc_g.reshape(-1, 3), mode="drop")
+    )
+    acc = jnp.zeros((n, 3), jnp.float32).at[perm].set(acc_s).astype(dtype)
+
+    if return_stats:
+        return acc, {
+            "pops": jnp.sum(stats[:, S_POPS]),
+            "staged_sources": jnp.sum(stats[:, S_SRC]),
+            "near_bodies": jnp.sum(stats[:, S_NEAR]),
+            "stack_overflow": jnp.max(stats[:, S_OVF]),
+            "trimmed_groups": trimmed,
+        }
+    return acc
