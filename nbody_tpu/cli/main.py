@@ -117,6 +117,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Pallas all-pairs i-block size (0 = auto)")
     p.add_argument("--block-j", type=int, default=0,
                    help="Pallas all-pairs j-tile size (0 = auto)")
+    p.add_argument(
+        "--bh-traversal",
+        choices=["auto", "fused", "flat", "padded"],
+        default="auto",
+        help="Barnes-Hut traversal engine (auto: the fused Pallas "
+        "traverse+evaluate kernel on TPU, flat XLA elsewhere)",
+    )
     p.add_argument("--bh-group-size", type=int, default=0,
                    help="Barnes-Hut bodies per traversal group (0 = auto)")
     p.add_argument("--bh-leaf-cap", type=int, default=0,
@@ -129,6 +136,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="skip the Barnes-Hut startup capacity probe (the probe costs "
         "one extra force evaluation; without it an over-dense input would "
         "abort mid-run instead of at startup)",
+    )
+    p.add_argument(
+        "--timers",
+        action="store_true",
+        help="print a per-phase Barnes-Hut timing breakdown (sort / build "
+        "/ group / traverse / eval) before the run — the analog of the "
+        "reference's -DPRINT_KERNEL_TIME (cuda/barnes-hut.cu:938-948)",
     )
     p.add_argument(
         "--trace",
@@ -223,6 +237,9 @@ def build_force_fn(args, n: int):
                 exhaustive_accelerations, G=args.G, softening_sq=args.softening2
             )
     else:
+        traversal = getattr(args, "bh_traversal", "auto")
+        if traversal == "auto":
+            traversal = "fused" if (backend == "pallas" and not args.shard) else "flat"
         if args.shard:
             from nbody_tpu.parallel.sharding import barneshut_shard_force_fn
 
@@ -232,6 +249,22 @@ def build_force_fn(args, n: int):
                 theta=args.theta,
                 **bh_kw,
             )
+        elif traversal == "fused":
+            from nbody_tpu.ops.bh_fused import barneshut_fused
+
+            fused_kw = {
+                k: v for k, v in bh_kw.items() if k in ("group_size", "leaf_cap")
+            }
+            force = partial(
+                barneshut_fused,
+                G=args.G,
+                softening_sq=args.softening2,
+                theta=args.theta,
+                # a forced fused run off-TPU uses the Pallas interpreter
+                interpret=not on_tpu,
+                **fused_kw,
+            )
+            backend = f"{backend}/fused"
         else:
             from nbody_tpu.ops.barneshut import barneshut_accelerations
 
@@ -240,6 +273,7 @@ def build_force_fn(args, n: int):
                 G=args.G,
                 softening_sq=args.softening2,
                 theta=args.theta,
+                traversal=traversal,
                 **bh_kw,
             )
 
@@ -314,22 +348,56 @@ def main(argv=None) -> int:
         )
 
         try:
-            check_capacities(
-                bodies.pos,
-                bodies.mass,
-                G=args.G,
-                softening_sq=args.softening2,
-                theta=args.theta,
-                backend=backend if backend != "pallas" else "auto",
-                **_bh_kwargs(args),
-            )
+            if backend.endswith("/fused"):
+                from nbody_tpu.ops.bh_fused import check_fused
+
+                bh_kw = _bh_kwargs(args)
+                check_fused(
+                    bodies.pos,
+                    bodies.mass,
+                    G=args.G,
+                    softening_sq=args.softening2,
+                    theta=args.theta,
+                    **{k: v for k, v in bh_kw.items()
+                       if k in ("group_size", "leaf_cap")},
+                )
+            else:
+                check_capacities(
+                    bodies.pos,
+                    bodies.mass,
+                    G=args.G,
+                    softening_sq=args.softening2,
+                    theta=args.theta,
+                    backend=backend if backend != "pallas" else "auto",
+                    **_bh_kwargs(args),
+                )
         except CapacityError as e:
             print(f"error: {e}", file=sys.stderr)
             return 3
         except ResolutionError as e:
             # Accuracy (not correctness-of-accounting) residual: warn and
-            # continue, matching the theta-approximation contract.
+            # continue, matching the theta-approximation contract.  The
+            # fused traversal has no such residual (clusters ship exactly).
             print(f"warning: {e}", file=sys.stderr)
+
+    if args.timers and algo == "barnes-hut":
+        from nbody_tpu.diag import bh_phases
+
+        kw = dict(G=args.G, softening_sq=args.softening2, theta=args.theta)
+        if backend.endswith("/fused"):
+            bh_kw = _bh_kwargs(args)
+            times = bh_phases.fused_phase_times(
+                bodies.pos, bodies.mass,
+                **kw,
+                **{k: v for k, v in bh_kw.items()
+                   if k in ("group_size", "leaf_cap")},
+            )
+        else:
+            times = bh_phases.flat_phase_times(
+                bodies.pos, bodies.mass, **kw, **_bh_kwargs(args)
+            )
+        print("Per-phase force-eval breakdown:")
+        print(bh_phases.report(times))
 
     if args.shard:
         from nbody_tpu.parallel.sharding import shard_bodies

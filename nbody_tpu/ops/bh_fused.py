@@ -574,3 +574,22 @@ def barneshut_fused(
             "trimmed_groups": trimmed,
         }
     return acc
+
+
+def check_fused(pos, mass, **kw):
+    """Fail-fast probe for the fused path (the analog of
+    barneshut.check_capacities): one force eval, raising CapacityError if
+    the DFS stack overflowed or occupied groups were trimmed — the only
+    two static capacities this path has (there are no interaction lists).
+    Returns the stats dict."""
+    from nbody_tpu.ops.barneshut import CapacityError
+
+    _, stats = barneshut_fused(pos, mass, return_stats=True, **kw)
+    if int(stats["stack_overflow"]) > 0 or int(stats["trimmed_groups"]) > 0:
+        raise CapacityError(
+            "fused Barnes-Hut capacity overflow: "
+            f"stack_overflow={int(stats['stack_overflow'])}, "
+            f"trimmed_groups={int(stats['trimmed_groups'])}; rerun with a "
+            "larger --bh-group-size or the flat traversal"
+        )
+    return stats

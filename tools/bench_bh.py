@@ -28,10 +28,15 @@ def main() -> None:
     from nbody_tpu.core.types import Bodies
     from nbody_tpu.integrate.leapfrog import leapfrog_steps
     from nbody_tpu.ops.barneshut import barneshut_accelerations
+    from nbody_tpu.ops.bh_fused import barneshut_fused
 
     on_tpu = jax.default_backend() not in ("cpu",)
     n = 1_000_000 if on_tpu else 20_000
     steps = 3 if on_tpu else 1
+    # fused Pallas traverse+evaluate kernel on TPU; flat XLA path on CPU
+    force = barneshut_fused if on_tpu else barneshut_accelerations
+    if "--flat" in sys.argv:
+        force = barneshut_accelerations
 
     rng = np.random.default_rng(0)
     bodies = Bodies(
@@ -41,7 +46,7 @@ def main() -> None:
     )
 
     def run():
-        out, acc = leapfrog_steps(bodies, steps, 1e-4, barneshut_accelerations)
+        out, acc = leapfrog_steps(bodies, steps, 1e-4, force)
         np.asarray(out.pos[:1])  # D2H readback as the timing fence
 
     run()  # compile
