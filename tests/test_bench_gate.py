@@ -1,0 +1,88 @@
+"""Performance-regression gate (VERDICT r1 item 6).
+
+bench/bench_grid_best.json records the best seconds-per-eval this
+framework has achieved per (algo, n) config on the real TPU chip
+(written by `python tools/bench_grid.py --out ...` and checked in each
+round).  On a TPU backend this gate re-times each recorded config and
+fails on a >1.5x regression; on the CPU test mesh it validates the
+record's shape and gates the physics instead (energy drift of a leapfrog
+run must stay within the reference's 1e-3 contract, BASELINE.md:66-68).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RECORD = os.path.join(REPO, "bench", "bench_grid_best.json")
+ENVELOPE = 1.5  # allowed slowdown vs the recorded round best
+
+
+def _load_record():
+    if not os.path.exists(RECORD):
+        pytest.skip("no recorded benchmark grid yet")
+    with open(RECORD) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def test_record_well_formed():
+    recs = _load_record()
+    assert recs, "record exists but is empty"
+    for r in recs:
+        assert r["algo"] in ("exhaustive", "barnes-hut")
+        assert r["n"] >= 1000 and r["value"] > 0 and r["unit"] == "s/eval"
+        if r["vs_baseline"] is not None:
+            # the point of the framework: never slower than the reference
+            assert r["vs_baseline"] > 1.0, (
+                f"recorded config {r['algo']}/{r['n']} is slower than the "
+                f"reference best ({r['vs_baseline']:.2f}x)"
+            )
+
+
+def test_perf_envelope_on_tpu():
+    import jax
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("perf envelope is only meaningful on the real chip")
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from bench_grid import bench_config
+
+    for r in _load_record():
+        if r["n"] > 200_000:
+            continue  # keep the gate fast; 1M is the driver bench's job
+        sec = bench_config(r["algo"], r["n"], reps=2)
+        assert sec < r["value"] * ENVELOPE, (
+            f"{r['algo']}/{r['n']} regressed: {sec:.4f}s vs recorded "
+            f"{r['value']:.4f}s (envelope {ENVELOPE}x)"
+        )
+
+
+def test_energy_drift_contract():
+    """A 50-step leapfrog run of a virialized-ish cloud keeps |dE/E0|
+    within the 1e-3 contract (BASELINE.md north star) on any backend."""
+    import jax.numpy as jnp
+
+    from nbody_tpu.core.types import Bodies
+    from nbody_tpu.diag.energy import energy_drift, get_energy
+    from nbody_tpu.integrate.leapfrog import leapfrog_steps
+    from nbody_tpu.ops.barneshut import barneshut_accelerations
+
+    rng = np.random.default_rng(12)
+    n = 2000
+    bodies = Bodies(
+        pos=jnp.asarray(rng.uniform(-1, 1, (n, 3)), jnp.float32),
+        vel=jnp.asarray(rng.uniform(-0.1, 0.1, (n, 3)), jnp.float32),
+        mass=jnp.asarray(rng.uniform(0.04, 0.2, n), jnp.float32),
+    )
+    ke0, pe0 = get_energy(bodies.pos, bodies.vel, bodies.mass, G=1.0)
+    out, _ = leapfrog_steps(
+        bodies, 50, 1e-4,
+        lambda p, m: barneshut_accelerations(p, m, G=1.0),
+    )
+    ke1, pe1 = get_energy(out.pos, out.vel, out.mass, G=1.0)
+    drift = energy_drift(float(ke1 + pe1), float(ke0 + pe0))
+    assert abs(drift) < 1e-3, drift
