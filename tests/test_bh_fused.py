@@ -71,6 +71,24 @@ def test_fused_clustered_exact():
     assert err < 0.02, err
 
 
+def test_fused_plummer_exact_forces():
+    """Plummer sphere (the VERDICT round-1 gap): tails put outliers at
+    100+ scale radii, stretching the Morton domain until deep cells exceed
+    the core size.  The flat path COM-merges over-full terminal cells and
+    *reports* the residual; the fused kernel ships those bodies exactly,
+    so this asserts accurate forces unconditionally — no reported-residual
+    escape hatch (serial/barnes-hut.c:206-245 is the reference analog)."""
+    from nbody_tpu.utils.fixtures import plummer_cloud
+
+    arr = plummer_cloud(700, seed=9)
+    pos = jnp.asarray(arr[:, :3], jnp.float32)
+    mass = jnp.asarray(arr[:, 6], jnp.float32)
+    acc, stats = _run(pos, mass, group_size=128)
+    want = _direct(pos, mass)
+    err = np.abs(acc - want).max() / np.abs(want).max()
+    assert err < 0.02, err
+
+
 def test_fused_two_groups_and_padding():
     """N spanning several non-full groups: pad-slot duplicates must be
     dropped on the scatter-back and empty groups skipped."""
