@@ -239,8 +239,21 @@ def build_force_fn(args, n: int):
     else:
         traversal = getattr(args, "bh_traversal", "auto")
         if traversal == "auto":
-            traversal = "fused" if (backend == "pallas" and not args.shard) else "flat"
-        if args.shard:
+            traversal = "fused" if backend == "pallas" else "flat"
+        if args.shard and traversal == "fused":
+            # Morton-range-sharded pipeline: distributed sort + psum'd grid
+            # build + per-chip fused traversal (parallel/bh_shard.py)
+            from nbody_tpu.parallel.bh_shard import fused_shard_force_fn
+
+            force = fused_shard_force_fn(
+                G=args.G,
+                softening_sq=args.softening2,
+                theta=args.theta,
+                **{k: v for k, v in bh_kw.items()
+                   if k in ("group_size", "leaf_cap")},
+            )
+            backend = f"{backend}/fused"
+        elif args.shard:
             from nbody_tpu.parallel.sharding import barneshut_shard_force_fn
 
             force = barneshut_shard_force_fn(
@@ -348,7 +361,9 @@ def main(argv=None) -> int:
         )
 
         try:
-            if backend.endswith("/fused"):
+            if backend.endswith("/fused") and args.shard:
+                pass  # probed on the sharded state after shard_bodies below
+            elif backend.endswith("/fused"):
                 from nbody_tpu.ops.bh_fused import check_fused
 
                 bh_kw = _bh_kwargs(args)
@@ -405,6 +420,31 @@ def main(argv=None) -> int:
         # Barnes-Hut sharding assigns whole Morton groups per chip.
         multiple = (args.bh_group_size or 512) if algo == "barnes-hut" else 1
         bodies = shard_bodies(bodies, multiple=multiple)
+
+        if (
+            algo == "barnes-hut"
+            and backend.endswith("/fused")
+            and not args.no_capacity_check
+        ):
+            # Sharded capacities differ from the single-chip ones (bucket
+            # capacity of the all_to_all redistribution, per-chip group
+            # trim): probe the actual sharded pipeline once.
+            from nbody_tpu.ops.barneshut import CapacityError
+            from nbody_tpu.parallel.bh_shard import check_sharded_fused
+
+            bh_kw = _bh_kwargs(args)
+            try:
+                check_sharded_fused(
+                    bodies,
+                    G=args.G,
+                    softening_sq=args.softening2,
+                    theta=args.theta,
+                    **{k: v for k, v in bh_kw.items()
+                       if k in ("group_size", "leaf_cap")},
+                )
+            except CapacityError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 3
 
     # Reference banner (serial/exhaustive.c:55-57), extended with our config.
     print(

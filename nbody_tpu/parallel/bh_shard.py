@@ -1,0 +1,347 @@
+"""Morton-range-sharded Barnes-Hut: distributed sort, build and traversal.
+
+Round 1 sharded only the traversal: every chip all_gathered all N bodies
+and redundantly Morton-sorted and built the full tree, so per-chip build
+cost stayed O(N log N) — the Amdahl floor called out in VERDICT.md.  This
+module shards the whole pipeline the way SURVEY.md §7 (hard part 5)
+prescribes: each chip OWNS a contiguous Morton key range, sorts and
+builds only its own bodies, and shares only fixed-size aggregates.
+
+Per force eval, on a P-chip mesh with N bodies (C = N / P local):
+
+1. global root cube: `pmax` of the local |coord| max (the collective
+   analog of the reference's bounding-box reductions,
+   cuda/barnes-hut.cu:307-349);
+2. local Morton sort O(C log C);
+3. splitter selection: each chip contributes S evenly-ranked key samples,
+   the P*S samples are all_gathered, and splitters at ranks S, 2S, ... are
+   snapped DOWN to terminal-cell boundaries — so a terminal cell never
+   straddles chips (sample sort; the snap keeps dense-grid cells
+   single-owner, which keeps their body ranges contiguous);
+4. redistribution: each chip's sorted bodies fall into P contiguous
+   key-range buckets; fixed-capacity buckets ride ONE `all_to_all` over
+   ICI, and each chip merge-sorts the <=P runs it received — O(C' log C')
+   with C' = bucket_frac * C.  Bucket overflow (pathological imbalance) is
+   detected and reported, never silent (the framework-wide capacity
+   contract, ops/barneshut.py check_capacities);
+5. distributed dense-grid build: each chip segment-sums ITS OWN bodies
+   into the 8^ld terminal accumulators; one `psum` makes the (identical,
+   VMEM-resident) grid whole on every chip.  This is the "replicate only
+   the top levels" plan — the dense grid IS levels 0..ld, a fixed ~5 MB
+   at ld=6 regardless of N, and per-chip build work is O(C) + O(8^ld);
+6. per-chip fused traversal (ops/bh_fused.py) over the chip's OWN groups
+   only; the planar source array for near-field DMA is the all_gather of
+   the chips' padded sorted shards (the j-side gather the all-pairs
+   sharding also performs — ICI bandwidth, not compute);
+7. accelerations routed back to the original sharding through the carried
+   original-index field.
+
+Body ranges in the gathered layout may contain padding slots (each chip
+pads its shard to a static capacity).  Padding carries gm = 0 and finite
+coordinates, so any range that spans it contributes exactly zero force —
+the it-table packs each cell's [start, span-to-last-real-descendant]
+instead of [start, count], and classification uses span as a conservative
+count (span >= count: a straddling cell at worst opens one level early).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from nbody_tpu.core import constants
+from nbody_tpu.ops.barneshut import CapacityError
+from nbody_tpu.ops.bh_fused import auto_ld, fused_group_forces, pack_tables
+from nbody_tpu.ops.bh_grid import GridTree, grid_offsets
+from nbody_tpu.ops.morton import morton_encode
+from nbody_tpu.parallel.mesh import BODY_AXIS, make_mesh
+
+_SENT_KEY = jnp.int32(1 << 30)  # > any 30-bit Morton key
+_DEPTH = 10
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _grid_from_partials(w, gm, cnt, start_t, end_t, ld: int):
+    """Dense GridTree from (already psum/pmin/pmax-combined) terminal-level
+    accumulators.  `start_t`/`end_t` are first/last+1 PADDED-LAYOUT body
+    indices per terminal cell (int32 sentinel INF / -1 when empty); coarse
+    cells take min/max over their 8 children; cnt is replaced by the span
+    end - start so DMA ranges cover chip-boundary padding gaps (gm = 0)."""
+    ws, gms, cnts, sts, ens = [w], [gm], [cnt], [start_t], [end_t]
+    for _ in range(ld):
+        ws.append(ws[-1].reshape(-1, 8, 3).sum(axis=1))
+        gms.append(gms[-1].reshape(-1, 8).sum(axis=1))
+        cnts.append(cnts[-1].reshape(-1, 8).sum(axis=1))
+        sts.append(sts[-1].reshape(-1, 8).min(axis=1))
+        ens.append(ens[-1].reshape(-1, 8).max(axis=1))
+    for seq in (ws, gms, cnts, sts, ens):
+        seq.reverse()
+
+    w_all = jnp.concatenate(ws, axis=0)
+    gm_all = jnp.concatenate(gms, axis=0)
+    cnt_all = jnp.concatenate(cnts, axis=0)
+    st_all = jnp.concatenate(sts, axis=0)
+    en_all = jnp.concatenate(ens, axis=0)
+    com = w_all / jnp.maximum(gm_all, 1e-30)[:, None]
+    span = jnp.where(cnt_all > 0, en_all - st_all, 0)
+    start = jnp.where(cnt_all > 0, st_all, 0)
+    total = grid_offsets(ld)[ld + 1]
+    return GridTree(
+        cx=com[:, 0].reshape(1, total),
+        cy=com[:, 1].reshape(1, total),
+        cz=com[:, 2].reshape(1, total),
+        gm=gm_all.astype(jnp.float32).reshape(1, total),
+        cnt=span.astype(jnp.int32).reshape(1, total),
+        start=start.astype(jnp.int32).reshape(1, total),
+    )
+
+
+def fused_shard_force_fn(
+    mesh=None,
+    axis_name: str = BODY_AXIS,
+    *,
+    G: float = constants.BIG_G,
+    softening_sq: float = constants.SOFTENING_SQ,
+    theta: float = constants.THETA,
+    group_size: int = 1024,
+    leaf_cap: int = 64,
+    samples_per_chip: int = 32,
+    bucket_frac: float = 2.5,
+    burst_rows: int = 16,
+    interpret: bool | None = None,
+    return_stats: bool = False,
+):
+    """Sharded Barnes-Hut ForceFn: (pos, mass) sharded on axis 0 -> acc.
+
+    With return_stats=True returns (acc, stats) where stats is a dict of
+    replicated scalars: bucket_overflow / trimmed_groups / stack_overflow
+    must all be 0 for exact forces (see check_sharded_fused)."""
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    def local(pos_l, mass_l):
+        dtype = pos_l.dtype
+        C = pos_l.shape[0]
+        N = n_dev * C
+        b = min(group_size, C)
+        ld = auto_ld(N)
+        sl = max(0, math.ceil(math.log(max(N / (2 * b), 1.0), 8)))
+        k_terminal = 8**ld
+        CB = _round_up(max(int(bucket_frac * C / n_dev), min(C, 256)), 128)
+        C_own = n_dev * CB
+        k = lax.axis_index(axis_name)
+
+        # 1. global root cube --------------------------------------------
+        border = 2.0 * lax.pmax(jnp.max(jnp.abs(pos_l)), axis_name)
+
+        # 2. local Morton sort -------------------------------------------
+        keys = morton_encode(pos_l, border, _DEPTH)
+        ordl = jnp.argsort(keys)
+        keys_s = keys[ordl]
+        pos_s = pos_l[ordl].astype(jnp.float32)
+        gm_s = (jnp.asarray(G, jnp.float32) * mass_l[ordl]).astype(jnp.float32)
+        orig = (k * C + ordl).astype(jnp.int32)
+
+        # 3. splitters (sample sort, snapped to terminal-cell bounds) ----
+        S = samples_per_chip
+        samp = keys_s[(jnp.arange(S) * C) // S]
+        all_samp = lax.all_gather(samp, axis_name, axis=0, tiled=True)
+        ss = jnp.sort(all_samp)
+        spl = ss[jnp.arange(1, n_dev) * S]  # (P-1,)
+        spl = spl & ~jnp.int32((1 << (3 * (_DEPTH - ld))) - 1)
+
+        # 4. bucket + all_to_all redistribution --------------------------
+        o = jnp.concatenate(
+            [
+                jnp.zeros((1,), jnp.int32),
+                jnp.searchsorted(keys_s, spl, side="left").astype(jnp.int32),
+                jnp.full((1,), C, jnp.int32),
+            ]
+        )  # (P+1,) bucket boundaries in local sorted order
+        cnt_b = o[1:] - o[:-1]
+        bucket_overflow = lax.pmax(jnp.max(cnt_b - CB), axis_name)
+
+        fall = jnp.concatenate(
+            [pos_s, gm_s[:, None]], axis=1
+        )  # (C, 4) [x y z gm]
+        iall = jnp.stack([keys_s, orig], axis=1)  # (C, 2)
+        fpad = jnp.pad(fall, ((0, CB), (0, 0)))
+        ipad = jnp.pad(iall, ((0, CB), (0, 0)))
+
+        sf, si = [], []
+        slot = jnp.arange(CB, dtype=jnp.int32)[:, None]
+        for j in range(n_dev):
+            valid = slot < cnt_b[j]
+            fj = lax.dynamic_slice_in_dim(fpad, o[j], CB, axis=0)
+            ij = lax.dynamic_slice_in_dim(ipad, o[j], CB, axis=0)
+            fj = jnp.where(valid, fj, jnp.where(jnp.arange(4) == 3, 0.0, fj))
+            ij = jnp.where(
+                valid, ij, jnp.stack(
+                    [jnp.broadcast_to(_SENT_KEY, (CB,)),
+                     jnp.full((CB,), -1, jnp.int32)], axis=1
+                )
+            )
+            sf.append(fj)
+            si.append(ij)
+        send_f = jnp.stack(sf)  # (P, CB, 4)
+        send_i = jnp.stack(si)  # (P, CB, 2)
+        if n_dev > 1:
+            recv_f = lax.all_to_all(
+                send_f, axis_name, split_axis=0, concat_axis=0
+            )
+            recv_i = lax.all_to_all(
+                send_i, axis_name, split_axis=0, concat_axis=0
+            )
+        else:
+            recv_f, recv_i = send_f, send_i
+
+        rk = recv_i[:, :, 0].reshape(C_own)
+        mo = jnp.argsort(rk)  # merge of <=P sorted runs; pads sink to end
+        myk = rk[mo]
+        myo = recv_i[:, :, 1].reshape(C_own)[mo]
+        myf = recv_f.reshape(C_own, 4)[mo]
+        real = myk < _SENT_KEY
+        R_l = jnp.sum(real.astype(jnp.int32))
+
+        # 5. distributed dense-grid build --------------------------------
+        nid = jnp.where(real, myk >> (3 * (_DEPTH - ld)), k_terminal)
+        seg = partial(jax.ops.segment_sum, segment_ids=nid,
+                      num_segments=k_terminal)
+        gm_masked = jnp.where(real, myf[:, 3], 0.0)
+        w_p = seg(gm_masked[:, None] * myf[:, :3])
+        gm_p = seg(gm_masked)
+        cnt_p = seg(real.astype(jnp.int32))
+        gidx = (k * C_own + jnp.arange(C_own)).astype(jnp.int32)
+        inf = jnp.int32(2**31 - 1)
+        st_p = jax.ops.segment_min(
+            jnp.where(real, gidx, inf), nid, num_segments=k_terminal
+        )
+        en_p = jax.ops.segment_max(
+            jnp.where(real, gidx + 1, -1), nid, num_segments=k_terminal
+        )
+        w_g = lax.psum(w_p, axis_name)
+        gm_g = lax.psum(gm_p, axis_name)
+        cnt_g = lax.psum(cnt_p, axis_name)
+        st_g = lax.pmin(st_p, axis_name)
+        en_g = lax.pmax(en_p, axis_name)
+        tree = _grid_from_partials(w_g, gm_g, cnt_g, st_g, en_g, ld)
+        ft, it = pack_tables(tree, ld)
+
+        # 6. per-chip grouping + fused traversal -------------------------
+        from nbody_tpu.ops.barneshut import compact_groups, group_bodies
+
+        gstart, gcount, group_idx, group_valid = group_bodies(
+            myk, C_own, _DEPTH, b, sl
+        )
+        # clamp pad bodies out of the trailing groups; pad slots re-point at
+        # the group's first body so the AABB stays tight (group_bodies'
+        # convention — origin-coordinate pads would inflate it to the domain)
+        gcount = jnp.minimum(gcount, jnp.clip(R_l - gstart, 0))
+        slots = jnp.arange(b, dtype=jnp.int32)[None, :]
+        group_valid = slots < gcount[:, None]
+        group_idx = jnp.clip(
+            jnp.where(group_valid, gstart[:, None] + slots, gstart[:, None]),
+            0,
+            C_own - 1,
+        )
+        keep = min(gstart.shape[0], 3 * (C_own // b) + 256)
+        gstart, gcount, group_idx, group_valid, trimmed = compact_groups(
+            gstart, gcount, group_idx, group_valid, keep
+        )
+        pg = jnp.concatenate(
+            [myf[group_idx][:, :, :3], jnp.zeros((keep, b, 1), jnp.float32)],
+            axis=-1,
+        )
+
+        ps_l = myf.T  # (4, C_own); pads carry gm = 0, finite coords
+        ps = lax.all_gather(ps_l, axis_name, axis=1, tiled=True)
+
+        lev = jnp.arange(16, dtype=jnp.float32)
+        bsq = (border.astype(jnp.float32) / jnp.exp2(lev)) ** 2
+        ooff = jnp.asarray(grid_offsets(6), jnp.int32)
+        ooff = jnp.pad(ooff, (0, 16 - ooff.shape[0]))
+
+        acc_g, kstats = fused_group_forces(
+            gcount, pg, ft, it, ps, bsq, ooff,
+            theta=theta, eps2=softening_sq, leaf_cap=leaf_cap, ld=ld,
+            burst_rows=burst_rows, interpret=interpret,
+        )
+
+        # 7. route accelerations back to the original sharding -----------
+        dest = jnp.where(group_valid, group_idx, C_own)
+        acc_own = (
+            jnp.zeros((C_own, 3), jnp.float32)
+            .at[dest.reshape(-1)]
+            .set(acc_g.reshape(-1, 3), mode="drop")
+        )
+        acc_all = lax.all_gather(acc_own, axis_name, axis=0, tiled=True)
+        orig_all = lax.all_gather(myo, axis_name, axis=0, tiled=True)
+        rel = orig_all - k * C
+        mine = (rel >= 0) & (rel < C)
+        out = (
+            jnp.zeros((C, 3), jnp.float32)
+            .at[jnp.where(mine, rel, C)]
+            .set(acc_all, mode="drop")
+            .astype(dtype)
+        )
+        if not return_stats:
+            return out
+        stats = {
+            "bucket_overflow": lax.pmax(
+                jnp.maximum(bucket_overflow, 0), axis_name
+            ).reshape(()),
+            "trimmed_groups": lax.psum(trimmed, axis_name).reshape(()),
+            "stack_overflow": lax.pmax(
+                jnp.max(kstats[:, 3]), axis_name
+            ).reshape(()),
+            "near_bodies": lax.psum(
+                jnp.sum(kstats[:, 2]), axis_name
+            ).reshape(()),
+        }
+        return out, stats
+
+    out_specs = (
+        (P(axis_name, None), {k: P() for k in
+                              ("bucket_overflow", "trimmed_groups",
+                               "stack_overflow", "near_bodies")})
+        if return_stats
+        else P(axis_name, None)
+    )
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis_name, None), P(axis_name)),
+            out_specs=out_specs,
+            check_vma=False,  # pallas_call outputs carry no vma annotations
+        )
+    )
+
+
+def check_sharded_fused(bodies, mesh=None, **kw):
+    """Fail-fast startup probe for the sharded fused path (the sharded
+    analog of bh_fused.check_fused): one force eval; raises CapacityError
+    on bucket overflow, trimmed groups or DFS stack overflow."""
+    fn = fused_shard_force_fn(mesh=mesh, return_stats=True, **kw)
+    _, stats = fn(bodies.pos, bodies.mass)
+    bad = {
+        name: int(stats[name])
+        for name in ("bucket_overflow", "trimmed_groups", "stack_overflow")
+        if int(stats[name]) > 0
+    }
+    if bad:
+        raise CapacityError(
+            f"sharded fused Barnes-Hut capacity overflow: {bad}; rerun "
+            "with a larger --bh-group-size or bucket_frac"
+        )
+    return stats

@@ -1,0 +1,138 @@
+"""Morton-range-sharded Barnes-Hut (nbody_tpu.parallel.bh_shard).
+
+Runs the full distributed pipeline — local sort, sample-sort splitters,
+all_to_all redistribution, psum'd dense-grid build, per-chip fused
+traversal (Pallas interpret mode) — on the forced 8-device CPU mesh and
+checks forces against fp64 direct summation.  N stays small: the fused
+kernel executes pop-by-pop in interpret mode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nbody_tpu.core.types import Bodies
+from nbody_tpu.parallel.bh_shard import check_sharded_fused, fused_shard_force_fn
+from nbody_tpu.parallel.mesh import make_mesh
+from nbody_tpu.parallel.sharding import shard_bodies
+
+EPS2 = 0.01
+G = 1.0
+
+
+def _direct(pos, mass):
+    p = np.asarray(pos, np.float64)
+    m = np.asarray(mass, np.float64)
+    d = p[None, :, :] - p[:, None, :]
+    r2 = (d * d).sum(-1) + EPS2
+    w = G * m[None, :] * r2**-1.5
+    return np.einsum("ij,ijk->ik", w, d)
+
+
+def _cloud(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return (
+        jnp.asarray(rng.uniform(-2, 2, (n, 3)), jnp.float32),
+        jnp.asarray(rng.uniform(-1, 1, (n, 3)), jnp.float32),
+        jnp.asarray(rng.uniform(0.04, 1.0, n), jnp.float32),
+    )
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    return make_mesh(jax.devices()[:8])
+
+
+def test_sharded_fused_parity_vs_direct(mesh):
+    n = 1024
+    pos, vel, mass = _cloud(n, seed=2)
+    bodies = shard_bodies(Bodies(pos, vel, mass), mesh=mesh)
+    force = fused_shard_force_fn(
+        mesh=mesh, G=G, softening_sq=EPS2, theta=0.5, group_size=128,
+        return_stats=True,
+    )
+    acc, stats = force(bodies.pos, bodies.mass)
+    assert int(stats["bucket_overflow"]) == 0
+    assert int(stats["trimmed_groups"]) == 0
+    assert int(stats["stack_overflow"]) == 0
+    got = np.asarray(acc)[:n]
+    want = _direct(pos, mass)
+    err = np.abs(got - want).max() / np.abs(want).max()
+    assert err < 0.02, err
+
+
+def test_sharded_fused_matches_single_chip(mesh):
+    """The distributed pipeline must agree with the single-chip fused path
+    far beyond theta accuracy — same tree refinement, same grouping rules,
+    different partitioning."""
+    from nbody_tpu.ops.bh_fused import barneshut_fused
+
+    n = 768
+    pos, vel, mass = _cloud(n, seed=5)
+    bodies = shard_bodies(Bodies(pos, vel, mass), mesh=mesh)
+    force = fused_shard_force_fn(
+        mesh=mesh, G=G, softening_sq=EPS2, theta=0.5, group_size=128
+    )
+    got = np.asarray(force(bodies.pos, bodies.mass))[:n]
+    ref = np.asarray(
+        barneshut_fused(
+            pos, mass, G=G, softening_sq=EPS2, theta=0.5,
+            group_size=128, interpret=True,
+        )
+    )
+    scale = np.abs(ref).max()
+    # not bitwise (chip-local groups tile the Morton order differently,
+    # and group AABBs gate the MAC) but far tighter than the theta error
+    err = np.abs(got - ref).max() / scale
+    assert err < 0.01, err
+
+
+def test_sharded_fused_clustered(mesh):
+    """Two dense clusters + empty space: exercises splitter snapping,
+    uneven buckets, and exact near-field shipping of over-full cells."""
+    rng = np.random.default_rng(11)
+    n = 1024
+    half = n // 2
+    a = rng.normal([-1.5, 0, 0], 0.03, size=(half, 3))
+    c = rng.normal([1.5, 0, 0], 0.03, size=(n - half, 3))
+    pos = jnp.asarray(np.vstack([a, c]), jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.04, 1.0, n), jnp.float32)
+    bodies = shard_bodies(
+        Bodies(pos, jnp.zeros((n, 3), jnp.float32), mass), mesh=mesh
+    )
+    stats = check_sharded_fused(
+        bodies, mesh=mesh, G=G, softening_sq=EPS2, theta=0.5,
+        group_size=128, bucket_frac=8.0,
+    )
+    assert int(stats["near_bodies"]) > 0
+    force = fused_shard_force_fn(
+        mesh=mesh, G=G, softening_sq=EPS2, theta=0.5, group_size=128,
+        bucket_frac=8.0,
+    )
+    got = np.asarray(force(bodies.pos, bodies.mass))[:n]
+    want = _direct(pos, mass)
+    err = np.abs(got - want).max() / np.abs(want).max()
+    assert err < 0.02, err
+
+
+def test_sharded_fused_in_leapfrog(mesh):
+    """One KDK step end-to-end with the sharded force (the production
+    wiring: shard_bodies + leapfrog_steps)."""
+    from nbody_tpu.integrate.leapfrog import leapfrog_steps
+    from nbody_tpu.ops.exhaustive import direct_accelerations
+
+    n = 512
+    pos, vel, mass = _cloud(n, seed=9)
+    bodies = shard_bodies(Bodies(pos, vel, mass), mesh=mesh)
+    force = fused_shard_force_fn(
+        mesh=mesh, G=G, softening_sq=EPS2, theta=0.5, group_size=128
+    )
+    out, _ = leapfrog_steps(bodies, 2, 1e-3, force)
+    ref, _ = leapfrog_steps(
+        Bodies(pos, vel, mass), 2, 1e-3, direct_accelerations
+    )
+    dp = np.abs(np.asarray(out.pos)[:n] - np.asarray(ref.pos)).max()
+    assert dp < 5e-4, dp
