@@ -131,6 +131,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bh-list-size", type=int, default=0,
                    help="Barnes-Hut per-group source-list capacity (0 = auto)")
     p.add_argument(
+        "--resort-every",
+        type=int,
+        default=0,
+        metavar="K",
+        help="persistent Morton order: integrate in the traversal kernel's "
+        "group layout and re-sort only every K steps (fused Barnes-Hut, "
+        "unsharded, KDK only; skips the per-step sort/group/scatter — see "
+        "ops/bh_persistent.py for the stale-partition contract; 0 = off)",
+    )
+    p.add_argument(
         "--no-capacity-check",
         action="store_true",
         help="skip the Barnes-Hut startup capacity probe (the probe costs "
@@ -364,6 +374,8 @@ def main(argv=None) -> int:
             if backend.endswith("/fused") and args.shard:
                 pass  # probed on the sharded state after shard_bodies below
             elif backend.endswith("/fused"):
+                import jax as _jax
+
                 from nbody_tpu.ops.bh_fused import check_fused
 
                 bh_kw = _bh_kwargs(args)
@@ -373,6 +385,7 @@ def main(argv=None) -> int:
                     G=args.G,
                     softening_sq=args.softening2,
                     theta=args.theta,
+                    interpret=_jax.default_backend() == "cpu",
                     **{k: v for k, v in bh_kw.items()
                        if k in ("group_size", "leaf_cap")},
                 )
@@ -527,14 +540,53 @@ def main(argv=None) -> int:
 
     from nbody_tpu.diag.timing import trace as profiler_trace
 
+    persistent = (
+        args.resort_every > 0
+        and algo == "barnes-hut"
+        and backend.endswith("/fused")
+        and not args.shard
+        and args.integrator == "leapfrog"
+    )
+    if args.resort_every > 0 and not persistent:
+        print(
+            "warning: --resort-every requires the unsharded fused "
+            "Barnes-Hut path with the KDK integrator; ignoring",
+            file=sys.stderr,
+        )
+
     t_wall0 = time.perf_counter()
     with profiler_trace(args.trace):
-        bodies = simulate(
-            bodies, n_steps, dt, force,
-            frame_writer=writer, chunk_steps=args.chunk_steps,
-            checkpoint_every=args.checkpoint_every, checkpoint_fn=checkpoint_fn,
-            integrator=args.integrator,
-        )
+        if persistent:
+            import jax as _jax
+
+            from nbody_tpu.core.types import Bodies as _Bodies
+            from nbody_tpu.ops.bh_persistent import simulate_persistent
+
+            bh_kw = _bh_kwargs(args)
+            p_out, v_out = simulate_persistent(
+                bodies.pos, bodies.vel, bodies.mass, n_steps, dt,
+                G=args.G, softening_sq=args.softening2, theta=args.theta,
+                resort_every=args.resort_every,
+                interpret=_jax.default_backend() == "cpu",
+                frame_writer=writer,
+                checkpoint_every=args.checkpoint_every,
+                checkpoint_fn=checkpoint_fn,
+                **{k: v for k, v in bh_kw.items()
+                   if k in ("group_size", "leaf_cap")},
+            )
+            bodies = _Bodies(
+                p_out.astype(bodies.pos.dtype),
+                v_out.astype(bodies.vel.dtype),
+                bodies.mass,
+            )
+        else:
+            bodies = simulate(
+                bodies, n_steps, dt, force,
+                frame_writer=writer, chunk_steps=args.chunk_steps,
+                checkpoint_every=args.checkpoint_every,
+                checkpoint_fn=checkpoint_fn,
+                integrator=args.integrator,
+            )
     elapsed = time.perf_counter() - t_wall0
     if ckpt_mgr is not None:
         ckpt_mgr.close()

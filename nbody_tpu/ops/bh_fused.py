@@ -67,31 +67,46 @@ _OT_MASK = (1 << _LV_SHIFT) - 1
 S_POPS, S_SRC, S_NEAR, S_OVF, S_ROWS = 0, 1, 2, 3, 4
 
 
+def _octs(a, n_oct: int):
+    """Children cells (levels 1..ld in grid order) as (n_oct, 8) octets."""
+    return a[0, 1 : 1 + 8 * n_oct].reshape(n_oct, 8)
+
+
+def pack_ft(tree, ld: int):
+    """GridTree float half -> (RF, 128) f32 octet table.
+
+    ft row ot>>2 holds 4 octets of [cx8|cy8|cz8|gm8].  Split from pack_it
+    so the persistent-order path (ops/bh_persistent.py) can repack the
+    per-step float fields without touching the static int ranges."""
+    n_oct = grid_offsets(ld)[ld]  # octets with parent levels 0..ld-1
+    p4 = -(-n_oct // 4) * 4
+    f = jnp.stack(
+        [_octs(tree.cx, n_oct), _octs(tree.cy, n_oct),
+         _octs(tree.cz, n_oct), _octs(tree.gm, n_oct)], axis=1
+    )  # (n_oct, 4, 8)
+    f = jnp.pad(f, ((0, p4 - n_oct), (0, 0), (0, 0)))
+    return f.reshape(p4 // 4, 128)
+
+
+def pack_it(tree, ld: int):
+    """GridTree int half -> (RI, 128) i32 octet table: row ot>>3 holds 8
+    octets of [start8|span8]."""
+    n_oct = grid_offsets(ld)[ld]
+    p8 = -(-n_oct // 8) * 8
+    i = jnp.stack(
+        [_octs(tree.start, n_oct), _octs(tree.cnt, n_oct)], axis=1
+    )  # (n_oct, 2, 8)
+    i = jnp.pad(i, ((0, p8 - n_oct), (0, 0), (0, 0)))
+    return i.reshape(p8 // 8, 128).astype(jnp.int32)
+
+
 def pack_tables(tree, ld: int):
     """GridTree -> (ft (RF,128) f32, it (RI,128) i32) octet tables.
 
     Octet `ot` = OOFF[d] + c covers the 8 children (at level d+1) of cell
-    c at level d, with OOFF[d] = (8^d - 1) // 7.  ft row ot>>2 holds 4
-    octets of [cx8|cy8|cz8|gm8]; it row ot>>3 holds 8 octets of
-    [start8|count8].
+    c at level d, with OOFF[d] = (8^d - 1) // 7.
     """
-    n_oct = grid_offsets(ld)[ld]  # octets with parent levels 0..ld-1
-    # children cells = dense cells of levels 1..ld, in grid order
-    def octs(a):
-        return a[0, 1 : 1 + 8 * n_oct].reshape(n_oct, 8)
-
-    p4 = -(-n_oct // 4) * 4
-    f = jnp.stack(
-        [octs(tree.cx), octs(tree.cy), octs(tree.cz), octs(tree.gm)], axis=1
-    )  # (n_oct, 4, 8)
-    f = jnp.pad(f, ((0, p4 - n_oct), (0, 0), (0, 0)))
-    ft = f.reshape(p4 // 4, 128)
-
-    p8 = -(-n_oct // 8) * 8
-    i = jnp.stack([octs(tree.start), octs(tree.cnt)], axis=1)  # (n_oct, 2, 8)
-    i = jnp.pad(i, ((0, p8 - n_oct), (0, 0), (0, 0)))
-    it = i.reshape(p8 // 8, 128).astype(jnp.int32)
-    return ft, it
+    return pack_ft(tree, ld), pack_it(tree, ld)
 
 
 def _fused_kernel(

@@ -120,6 +120,47 @@ def build_grid(
     )
 
 
+def grid_from_terminal(w, gm, cnt, start_t, end_t, ld: int) -> GridTree:
+    """Dense GridTree from terminal-level accumulators.
+
+    `start_t`/`end_t` are first/last+1 body indices per terminal cell in
+    whatever storage layout the caller evaluates from (occupancy-packed,
+    chip-padded, or group-padded), with int32 INF / -1 sentinels when
+    empty; coarse cells take min/max over their 8 children.  `cnt` is
+    replaced in the result by the SPAN end - start, so ranges cover
+    layout padding gaps — padding must carry gm = 0 (zero force) for this
+    to stay exact.  Shared by the Morton-range-sharded build
+    (parallel/bh_shard.py) and the persistent-order path
+    (ops/bh_persistent.py)."""
+    ws, gms, cnts, sts, ens = [w], [gm], [cnt], [start_t], [end_t]
+    for _ in range(ld):
+        ws.append(ws[-1].reshape(-1, 8, 3).sum(axis=1))
+        gms.append(gms[-1].reshape(-1, 8).sum(axis=1))
+        cnts.append(cnts[-1].reshape(-1, 8).sum(axis=1))
+        sts.append(sts[-1].reshape(-1, 8).min(axis=1))
+        ens.append(ens[-1].reshape(-1, 8).max(axis=1))
+    for seq in (ws, gms, cnts, sts, ens):
+        seq.reverse()
+
+    w_all = jnp.concatenate(ws, axis=0)
+    gm_all = jnp.concatenate(gms, axis=0)
+    cnt_all = jnp.concatenate(cnts, axis=0)
+    st_all = jnp.concatenate(sts, axis=0)
+    en_all = jnp.concatenate(ens, axis=0)
+    com = w_all / jnp.maximum(gm_all, 1e-30)[:, None]
+    span = jnp.where(cnt_all > 0, en_all - st_all, 0)
+    start = jnp.where(cnt_all > 0, st_all, 0)
+    total = grid_offsets(ld)[ld + 1]
+    return GridTree(
+        cx=com[:, 0].reshape(1, total),
+        cy=com[:, 1].reshape(1, total),
+        cz=com[:, 2].reshape(1, total),
+        gm=gm_all.astype(jnp.float32).reshape(1, total),
+        cnt=span.astype(jnp.int32).reshape(1, total),
+        start=start.astype(jnp.int32).reshape(1, total),
+    )
+
+
 class DeepSubset(NamedTuple):
     """Compacted levels ld+1..depth over bodies of over-full dense cells.
 

@@ -1,0 +1,443 @@
+"""Persistent Morton order: integrate in group layout, resort every k steps.
+
+The fused Barnes-Hut force eval (ops/bh_fused.py) spends ~40% of its
+1M-body step outside the traversal kernel: Morton argsort ~52 ms, group
+construction ~53 ms, and the group->original scatter ~155 ms per eval
+(tools/profile_bh.py on a v5e).  None of that work changes meaningfully
+between consecutive small-dt steps — bodies move a tiny fraction of a
+cell per step.  This module keeps the INTEGRATOR STATE in the kernel's
+own (G, B, 4) group layout across steps:
+
+  * kick/drift are elementwise on the group arrays — the per-step sort,
+    group build, and scatter all disappear;
+  * the traversal kernel consumes the state directly (zero gathers) and
+    its (G, B, 3) output feeds the next kick directly (zero scatters);
+  * only the tree's FLOAT fields (COM, G*mass) are rebuilt each step,
+    via segment sums over the stored (stale) terminal-cell ids; the int
+    ranges (start/span per cell) are frozen between resorts;
+  * every `resort_every` steps the state is re-sorted from scratch,
+    reconciling cell membership with the drifted positions.
+
+Approximation contract: between resorts the MAC compares CURRENT group
+AABBs and CURRENT cell COMs against the STALE cell partition, so a cell's
+nominal size (border / 2^level) under-reports its true spatial extent by
+at most the drift distance since the last resort.  With v*k*dt far below
+the terminal cell size this is negligible (tested: forces stay within
+theta-level error of a per-step-resorted run); callers pick k
+accordingly.  Tree codes call this "tree reuse" — the reference has no
+analog (it rebuilds every step, serial/barnes-hut.c:496-500, a cost its
+own profile shows dwarfed by traversal).
+
+Pad slots in the group layout duplicate their group's FIRST body with
+gm = 0: they move identically to the real twin under kick/drift (same
+position => same acceleration), so group AABBs stay tight across steps
+and padding inside near-field spans contributes exactly zero force.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from nbody_tpu.core import constants
+from nbody_tpu.ops.bh_fused import (
+    auto_ld,
+    fused_group_forces,
+    pack_ft,
+    pack_it,
+)
+from nbody_tpu.ops.bh_grid import grid_from_terminal, grid_offsets
+from nbody_tpu.ops.morton import bounding_border, morton_encode
+
+_DEPTH = 10
+_SENT_KEY = jnp.int32(1 << 30)
+
+
+class GroupState(NamedTuple):
+    """Morton-persistent integrator state (all shapes static).
+
+    pg:    (G, B, 4) f32 [x y z gm]; pads duplicate the group's first body
+           with gm = 0
+    vel:   (G, B, 3) f32
+    valid: (G, B) bool
+    gcount:(G,) i32
+    orig:  (G, B) i32 original body index; pads -> N (scatter-dropped)
+    nid:   (G, B) i32 stale terminal-cell id; pads -> 8^ld (dropped)
+    it:    (RI, 128) i32 static start/span octet table (slot-index space)
+    bsq:   (16,) f32 (border / 2^level)^2
+    border:() f32
+    acc:   (G, B, 3) f32 force at current positions (KDK carry)
+    """
+
+    pg: jax.Array
+    vel: jax.Array
+    valid: jax.Array
+    gcount: jax.Array
+    orig: jax.Array
+    nid: jax.Array
+    it: jax.Array
+    bsq: jax.Array
+    border: jax.Array
+    acc: jax.Array
+
+
+def _layout(n: int, group_size: int):
+    b = group_size
+    ld = auto_ld(n)
+    sl = max(0, math.ceil(math.log(max(n / (2 * b), 1.0), 8)))
+    # exact static bound: every split-level cell adds at most one partial
+    # chunk (group_bodies' own capacity) — no compaction, no trim risk
+    g_cap = n // b + min(8**sl, n) + 1
+    return b, ld, sl, g_cap
+
+
+def _aux_tables(ld: int):
+    ooff = jnp.asarray(grid_offsets(6), jnp.int32)
+    return jnp.pad(ooff, (0, 16 - ooff.shape[0]))
+
+
+def _ft_from_state(pg, nid, ld: int):
+    """Per-step float-table rebuild: segment COM/G-mass over stale cells."""
+    k_terminal = 8**ld
+    m = pg.shape[0] * pg.shape[1]
+    pos_f = pg[..., :3].reshape(m, 3)
+    gm_f = pg[..., 3].reshape(m)
+    nid_f = nid.reshape(m)
+    w = jax.ops.segment_sum(
+        gm_f[:, None] * pos_f, nid_f, num_segments=k_terminal + 1
+    )[:k_terminal]
+    gm = jax.ops.segment_sum(gm_f, nid_f, num_segments=k_terminal + 1)[
+        :k_terminal
+    ]
+    ws, gms = [w], [gm]
+    for _ in range(ld):
+        ws.append(ws[-1].reshape(-1, 8, 3).sum(axis=1))
+        gms.append(gms[-1].reshape(-1, 8).sum(axis=1))
+    ws.reverse(), gms.reverse()
+    w_all = jnp.concatenate(ws, axis=0)
+    gm_all = jnp.concatenate(gms, axis=0)
+    com = w_all / jnp.maximum(gm_all, 1e-30)[:, None]
+    total = grid_offsets(ld)[ld + 1]
+
+    class _F(NamedTuple):
+        cx: jax.Array
+        cy: jax.Array
+        cz: jax.Array
+        gm: jax.Array
+
+    tree = _F(
+        com[:, 0].reshape(1, total),
+        com[:, 1].reshape(1, total),
+        com[:, 2].reshape(1, total),
+        gm_all.astype(jnp.float32).reshape(1, total),
+    )
+    return pack_ft(tree, ld)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "group_size"))
+def _resort(pos_f, vel_f, gm_f, orig_f, n: int, group_size: int):
+    """Full resort from flattened (M,)-shaped candidate arrays (pads carry
+    gm = 0 and orig = n) into a fresh GroupState.  Used both for the
+    initial build (M = N) and periodic resorts (M = G*B)."""
+    from nbody_tpu.ops.barneshut import group_bodies
+
+    b, ld, sl, g_cap = _layout(n, group_size)
+    m_in = pos_f.shape[0]
+    k_terminal = 8**ld
+
+    real_in = orig_f < n
+    border = bounding_border(
+        jnp.where(real_in[:, None], pos_f, 0.0)
+    ).astype(jnp.float32)
+    keys = morton_encode(pos_f, border, _DEPTH)
+    keys = jnp.where(real_in, keys, _SENT_KEY)
+    order = jnp.argsort(keys)
+    keys_s = keys[order]
+    pos_s = pos_f[order]
+    vel_s = vel_f[order]
+    gm_s = gm_f[order]
+    orig_s = orig_f[order]
+    # real bodies occupy [0, n) exactly: pads all carry the sentinel key
+
+    gstart, gcount, group_idx, group_valid = group_bodies(
+        keys_s, m_in, _DEPTH, b, sl
+    )
+    gcount = jnp.minimum(gcount, jnp.clip(n - gstart, 0))
+    slots = jnp.arange(b, dtype=jnp.int32)[None, :]
+    group_valid = slots < gcount[:, None]
+    group_idx = jnp.clip(
+        jnp.where(group_valid, gstart[:, None] + slots, gstart[:, None]),
+        0,
+        m_in - 1,
+    )
+    gcount = gcount[:g_cap]
+    group_valid = group_valid[:g_cap]
+    group_idx = group_idx[:g_cap]
+
+    pg = jnp.concatenate(
+        [
+            pos_s[group_idx].astype(jnp.float32),
+            jnp.where(group_valid, gm_s[group_idx], 0.0)[..., None].astype(
+                jnp.float32
+            ),
+        ],
+        axis=-1,
+    )
+    vel_g = vel_s[group_idx].astype(jnp.float32)
+    orig_g = jnp.where(group_valid, orig_s[group_idx], n).astype(jnp.int32)
+    nid_g = jnp.where(
+        group_valid,
+        (keys_s[group_idx] >> (3 * (_DEPTH - ld))).astype(jnp.int32),
+        k_terminal,
+    )
+
+    # static int tables: start/end per terminal cell in SLOT-index space
+    m = g_cap * b
+    slot_idx = jnp.arange(m, dtype=jnp.int32)
+    nid_f2 = nid_g.reshape(m)
+    inf = jnp.int32(2**31 - 1)
+    st = jax.ops.segment_min(
+        jnp.where(nid_f2 < k_terminal, slot_idx, inf),
+        nid_f2,
+        num_segments=k_terminal + 1,
+    )[:k_terminal]
+    en = jax.ops.segment_max(
+        jnp.where(nid_f2 < k_terminal, slot_idx + 1, -1),
+        nid_f2,
+        num_segments=k_terminal + 1,
+    )[:k_terminal]
+    cnt = jax.ops.segment_sum(
+        (nid_f2 < k_terminal).astype(jnp.int32),
+        nid_f2,
+        num_segments=k_terminal + 1,
+    )[:k_terminal]
+    zero3 = jnp.zeros((k_terminal, 3), jnp.float32)
+    tree = grid_from_terminal(
+        zero3, jnp.zeros((k_terminal,), jnp.float32), cnt, st, en, ld
+    )
+    it = pack_it(tree, ld)
+
+    lev = jnp.arange(16, dtype=jnp.float32)
+    bsq = (border / jnp.exp2(lev)) ** 2
+    return GroupState(
+        pg=pg,
+        vel=vel_g,
+        valid=group_valid,
+        gcount=gcount.astype(jnp.int32),
+        orig=orig_g,
+        nid=nid_g,
+        it=it,
+        bsq=bsq,
+        border=border,
+        acc=jnp.zeros_like(vel_g),
+    )
+
+
+def init_state(
+    pos,
+    vel,
+    mass,
+    *,
+    G: float = constants.BIG_G,
+    group_size: int = 1024,
+) -> GroupState:
+    """Build the persistent state from (N, 3)/(N,) body arrays."""
+    n = pos.shape[0]
+    gm = (jnp.asarray(G, jnp.float32) * mass).astype(jnp.float32)
+    orig = jnp.arange(n, dtype=jnp.int32)
+    return _resort(
+        pos.astype(jnp.float32), vel.astype(jnp.float32), gm, orig,
+        n=n, group_size=group_size,
+    )
+
+
+def resort(state: GroupState, n: int, group_size: int) -> GroupState:
+    """Periodic resort: flatten the group layout and rebuild."""
+    g, b, _ = state.pg.shape
+    m = g * b
+    # pads carry gm = 0 / orig = n already; resort keeps them inert
+    return _resort(
+        state.pg[..., :3].reshape(m, 3),
+        state.vel.reshape(m, 3),
+        jnp.where(state.valid, state.pg[..., 3], 0.0).reshape(m),
+        state.orig.reshape(m),
+        n=n, group_size=group_size,
+    )
+
+
+def state_forces(
+    state: GroupState,
+    *,
+    theta: float,
+    softening_sq: float,
+    leaf_cap: int,
+    ld: int,
+    burst_rows: int = 16,
+    interpret: bool = False,
+):
+    """(G, B, 3) accelerations at the state's current positions."""
+    g, b, _ = state.pg.shape
+    ft = _ft_from_state(state.pg, state.nid, ld)
+    ps = state.pg.reshape(g * b, 4).T  # (4, M); pads gm = 0
+    acc_g, _stats = fused_group_forces(
+        state.gcount, state.pg, ft, state.it, ps, state.bsq,
+        _aux_tables(ld),
+        theta=theta, eps2=softening_sq, leaf_cap=leaf_cap, ld=ld,
+        burst_rows=burst_rows, interpret=interpret,
+    )
+    return acc_g
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_steps", "theta", "softening_sq", "leaf_cap", "ld",
+        "burst_rows", "interpret", "with_history",
+    ),
+)
+def kdk_steps(
+    state: GroupState,
+    n_steps: int,
+    dt,
+    *,
+    theta: float,
+    softening_sq: float,
+    leaf_cap: int,
+    ld: int,
+    burst_rows: int = 16,
+    interpret: bool = False,
+    with_history: bool = False,
+):
+    """`n_steps` KDK steps entirely in group layout (no sort/scatter).
+
+    state.acc must hold force(current positions) — init via prime().
+    With with_history, also returns the (n_steps, G, B, 3) stack of
+    post-drift positions (group layout; emit per frame through
+    state.orig, which is constant within the scan)."""
+    dt = jnp.asarray(dt, jnp.float32)
+    half = dt * 0.5
+
+    force = functools.partial(
+        state_forces, theta=theta, softening_sq=softening_sq,
+        leaf_cap=leaf_cap, ld=ld, burst_rows=burst_rows,
+        interpret=interpret,
+    )
+
+    def step(carry, _):
+        st = carry
+        vel = st.vel + st.acc * half
+        pg = st.pg.at[..., :3].add(vel * dt)
+        st = st._replace(pg=pg, vel=vel)
+        acc = force(st)
+        st = st._replace(vel=st.vel + acc * half, acc=acc)
+        return st, (st.pg[..., :3] if with_history else None)
+
+    state, hist = lax.scan(step, state, None, length=n_steps)
+    if with_history:
+        return state, hist
+    return state
+
+
+def prime(state: GroupState, **force_kw) -> GroupState:
+    """Fill state.acc with the force at current positions (the initial
+    acceleration call of the reference, serial/exhaustive.c:206)."""
+    return state._replace(acc=state_forces(state, **force_kw))
+
+
+def emit(state: GroupState, n: int):
+    """(pos, vel) back in the original body order (for output frames)."""
+    g, b, _ = state.pg.shape
+    dest = state.orig.reshape(g * b)
+    pos = (
+        jnp.zeros((n, 3), jnp.float32)
+        .at[dest]
+        .set(state.pg[..., :3].reshape(g * b, 3), mode="drop")
+    )
+    vel = (
+        jnp.zeros((n, 3), jnp.float32)
+        .at[dest]
+        .set(state.vel.reshape(g * b, 3), mode="drop")
+    )
+    return pos, vel
+
+
+def simulate_persistent(
+    pos,
+    vel,
+    mass,
+    n_steps: int,
+    dt: float,
+    *,
+    G: float = constants.BIG_G,
+    softening_sq: float = constants.SOFTENING_SQ,
+    theta: float = constants.THETA,
+    group_size: int = 1024,
+    leaf_cap: int = 64,
+    resort_every: int = 8,
+    interpret: bool = False,
+    frame_writer=None,
+    checkpoint_every: int = 0,
+    checkpoint_fn=None,
+):
+    """Run n_steps with periodic resorts; returns (pos, vel) in original
+    order.  The chunked python loop mirrors integrate/leapfrog.simulate;
+    resorts land on chunk boundaries.  `frame_writer` receives the
+    initial frame then one (T, N, 3) original-order chunk per scan chunk
+    (frames are routed through state.orig on the host — the device never
+    pays the per-step scatter); `checkpoint_fn(Bodies, step)` fires every
+    `checkpoint_every` steps."""
+    import numpy as np
+
+    n = pos.shape[0]
+    _, ld, _, _ = _layout(n, group_size)
+    fkw = dict(
+        theta=theta, softening_sq=softening_sq, leaf_cap=leaf_cap,
+        ld=ld, interpret=interpret,
+    )
+    state = init_state(pos, vel, mass, G=G, group_size=group_size)
+    state = prime(state, **fkw)
+    if frame_writer is not None:
+        frame_writer(np.asarray(pos, np.float32)[None])
+
+    def flush_frames(state, hist):
+        h = np.asarray(hist)  # (T, G, B, 3)
+        dest = np.asarray(state.orig).reshape(-1)
+        keep = dest < n
+        buf = np.zeros((h.shape[0], n, 3), np.float32)
+        buf[:, dest[keep]] = h.reshape(h.shape[0], -1, 3)[:, keep]
+        frame_writer(buf)
+
+    done = 0
+    while done < n_steps:
+        t = min(resort_every, n_steps - done)
+        if checkpoint_every > 0:
+            next_ckpt = ((done // checkpoint_every) + 1) * checkpoint_every
+            t = min(t, next_ckpt - done)
+        if frame_writer is not None:
+            state, hist = kdk_steps(
+                state, t, dt, with_history=True, **fkw
+            )
+            flush_frames(state, hist)
+        else:
+            state = kdk_steps(state, t, dt, **fkw)
+        done += t
+        if (
+            checkpoint_every > 0
+            and checkpoint_fn is not None
+            and done % checkpoint_every == 0
+        ):
+            from nbody_tpu.core.types import Bodies
+
+            p_c, v_c = emit(state, n)
+            checkpoint_fn(Bodies(p_c, v_c, mass), done)
+        if done < n_steps:
+            state = resort(state, n, group_size)
+            state = prime(state, **fkw)
+    p_out, v_out = emit(state, n)
+    np.asarray(p_out[:1])  # device fence (see integrate/leapfrog.simulate)
+    return p_out, v_out

@@ -57,7 +57,7 @@ from jax.sharding import PartitionSpec as P
 from nbody_tpu.core import constants
 from nbody_tpu.ops.barneshut import CapacityError
 from nbody_tpu.ops.bh_fused import auto_ld, fused_group_forces, pack_tables
-from nbody_tpu.ops.bh_grid import GridTree, grid_offsets
+from nbody_tpu.ops.bh_grid import grid_from_terminal, grid_offsets
 from nbody_tpu.ops.morton import morton_encode
 from nbody_tpu.parallel.mesh import BODY_AXIS, make_mesh
 
@@ -67,41 +67,6 @@ _DEPTH = 10
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
-
-
-def _grid_from_partials(w, gm, cnt, start_t, end_t, ld: int):
-    """Dense GridTree from (already psum/pmin/pmax-combined) terminal-level
-    accumulators.  `start_t`/`end_t` are first/last+1 PADDED-LAYOUT body
-    indices per terminal cell (int32 sentinel INF / -1 when empty); coarse
-    cells take min/max over their 8 children; cnt is replaced by the span
-    end - start so DMA ranges cover chip-boundary padding gaps (gm = 0)."""
-    ws, gms, cnts, sts, ens = [w], [gm], [cnt], [start_t], [end_t]
-    for _ in range(ld):
-        ws.append(ws[-1].reshape(-1, 8, 3).sum(axis=1))
-        gms.append(gms[-1].reshape(-1, 8).sum(axis=1))
-        cnts.append(cnts[-1].reshape(-1, 8).sum(axis=1))
-        sts.append(sts[-1].reshape(-1, 8).min(axis=1))
-        ens.append(ens[-1].reshape(-1, 8).max(axis=1))
-    for seq in (ws, gms, cnts, sts, ens):
-        seq.reverse()
-
-    w_all = jnp.concatenate(ws, axis=0)
-    gm_all = jnp.concatenate(gms, axis=0)
-    cnt_all = jnp.concatenate(cnts, axis=0)
-    st_all = jnp.concatenate(sts, axis=0)
-    en_all = jnp.concatenate(ens, axis=0)
-    com = w_all / jnp.maximum(gm_all, 1e-30)[:, None]
-    span = jnp.where(cnt_all > 0, en_all - st_all, 0)
-    start = jnp.where(cnt_all > 0, st_all, 0)
-    total = grid_offsets(ld)[ld + 1]
-    return GridTree(
-        cx=com[:, 0].reshape(1, total),
-        cy=com[:, 1].reshape(1, total),
-        cz=com[:, 2].reshape(1, total),
-        gm=gm_all.astype(jnp.float32).reshape(1, total),
-        cnt=span.astype(jnp.int32).reshape(1, total),
-        start=start.astype(jnp.int32).reshape(1, total),
-    )
 
 
 def fused_shard_force_fn(
@@ -234,7 +199,7 @@ def fused_shard_force_fn(
         cnt_g = lax.psum(cnt_p, axis_name)
         st_g = lax.pmin(st_p, axis_name)
         en_g = lax.pmax(en_p, axis_name)
-        tree = _grid_from_partials(w_g, gm_g, cnt_g, st_g, en_g, ld)
+        tree = grid_from_terminal(w_g, gm_g, cnt_g, st_g, en_g, ld)
         ft, it = pack_tables(tree, ld)
 
         # 6. per-chip grouping + fused traversal -------------------------
