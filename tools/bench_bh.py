@@ -38,6 +38,11 @@ def main() -> None:
     if "--flat" in sys.argv:
         force = barneshut_accelerations
 
+    if "--persistent" in sys.argv:
+        # persistent Morton order (ops/bh_persistent.py): group-layout
+        # integration, resort every 8 steps
+        return _persistent_bench(n, steps, on_tpu)
+
     rng = np.random.default_rng(0)
     bodies = Bodies(
         pos=jnp.asarray(rng.uniform(-2.0, 2.0, (n, 3)), jnp.float32),
@@ -62,6 +67,51 @@ def main() -> None:
             {
                 "metric": f"Barnes-Hut seconds/step ({n} bodies, theta=0.5, "
                 "fp32; lower is better)",
+                "value": sec_per_step,
+                "unit": "s/step",
+                "vs_baseline": REF_BH_1M_SEC_PER_STEP / sec_per_step,
+            }
+        )
+    )
+
+
+def _persistent_bench(n: int, steps: int, on_tpu: bool) -> None:
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from nbody_tpu.ops.bh_persistent import (
+        _layout, init_state, kdk_steps, prime,
+    )
+
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.uniform(-2.0, 2.0, (n, 3)), jnp.float32)
+    vel = jnp.asarray(rng.uniform(-1.0, 1.0, (n, 3)), jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.04, 1.0, n), jnp.float32)
+    _, ld, _, _ = _layout(n, 1024)
+    fkw = dict(theta=0.5, softening_sq=0.01, leaf_cap=64, ld=ld,
+               interpret=not on_tpu)
+    st = init_state(pos, vel, mass, group_size=1024)
+    st = prime(st, **fkw)
+    k = max(steps, 3)
+
+    def run(st):
+        st = kdk_steps(st, k, 1e-4, **fkw)
+        np.asarray(st.acc[:1, :1])
+        return st
+
+    st = run(st)  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        st = run(st)
+        best = min(best, _time.perf_counter() - t0)
+    sec_per_step = best / k
+    print(
+        json.dumps(
+            {
+                "metric": f"Barnes-Hut seconds/step ({n} bodies, persistent "
+                "Morton order, theta=0.5, fp32; lower is better)",
                 "value": sec_per_step,
                 "unit": "s/step",
                 "vs_baseline": REF_BH_1M_SEC_PER_STEP / sec_per_step,
