@@ -21,21 +21,18 @@ The reference analog of what this replaces: the pointer-insert build
 COM sweep (cuda/barnes-hut.cu:206-451).
 
 Cluster chains deeper than Ld (cells still holding more than leaf_cap
-bodies at the terminal dense level) are handled by a compacted SUBSET
-tree built only over the bodies of over-full level-Ld cells: on uniform
-clouds the subset is empty and costs only fixed capacity-sized ops; on
-clustered inputs it bounds the extra work by the cluster population.
+bodies at the terminal dense level) need no structure at all: the fused
+traversal (ops/bh_fused.py) ships the bodies of over-full terminal cells
+exactly, bounding the extra work by the cluster population — the role of
+the reference's unbounded leaf split (serial/barnes-hut.c:206-245).
 """
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-
-from nbody_tpu.ops.bh_tree import TreeLevel
 
 
 def grid_offsets(ld: int) -> tuple[int, ...]:
@@ -158,134 +155,4 @@ def grid_from_terminal(w, gm, cnt, start_t, end_t, ld: int) -> GridTree:
         gm=gm_all.astype(jnp.float32).reshape(1, total),
         cnt=span.astype(jnp.int32).reshape(1, total),
         start=start.astype(jnp.int32).reshape(1, total),
-    )
-
-
-class DeepSubset(NamedTuple):
-    """Compacted levels ld+1..depth over bodies of over-full dense cells.
-
-    levels:       TreeLevel list (as bh_tree), capacities = `cap`; `start`
-                  fields index the ORIGINAL sorted body array.
-    child_start:  (1, 8^ld) i32 — first level-(ld+1) subset node per dense
-                  terminal cell (bridge from the dense grid into the chain)
-    child_count:  (1, 8^ld) i32
-    n_subset:     () i32 — bodies in over-full cells (> cap = overflow)
-    """
-
-    levels: list[TreeLevel]
-    child_start: jax.Array
-    child_count: jax.Array
-    n_subset: jax.Array
-
-
-def build_deep_subset(
-    pos_sorted: jax.Array,
-    gm_sorted: jax.Array,
-    keys_sorted: jax.Array,
-    depth: int,
-    ld: int,
-    leaf_cap: int,
-    cap: int,
-) -> DeepSubset:
-    """Build the cluster-chain subtree below the dense grid.
-
-    Only bodies whose terminal dense cell holds more than leaf_cap bodies
-    participate; everything is capacity-bounded by `cap` (uniform clouds:
-    zero occupancy, fixed small cost).  The reference resolves such
-    chains with its unbounded leaf split (serial/barnes-hut.c:206-245).
-    """
-    n = pos_sorted.shape[0]
-    k_terminal = 8**ld
-    nid = (keys_sorted >> (3 * (depth - ld))).astype(jnp.int32)
-    cnt_t = jax.ops.segment_sum(
-        jnp.ones((n,), jnp.int32), nid, num_segments=k_terminal
-    )
-    overfull = jnp.take(cnt_t, nid) > leaf_cap  # (N,) per body
-
-    slot = jnp.cumsum(overfull.astype(jnp.int32)) - overfull
-    n_subset = jnp.sum(overfull.astype(jnp.int32))
-    dst = jnp.where(overfull & (slot < cap), slot, cap)
-
-    def compact(x, fill=0):
-        shape = (cap + 1,) + x.shape[1:]
-        return jnp.full(shape, fill, x.dtype).at[dst].set(x, mode="drop")[:cap]
-
-    # Subset arrays; padding keys = all-ones so pad bodies form their own
-    # trailing pseudo-node that no real chain ever reaches (cnt fields of
-    # real nodes exclude them because segment ids differ).
-    pad_key = jnp.int32((1 << 30) - 1)
-    s_keys = compact(keys_sorted, fill=pad_key)
-    s_pos = compact(pos_sorted.astype(jnp.float32))
-    s_gm = compact(gm_sorted.astype(jnp.float32))
-    s_orig = compact(jnp.arange(n, dtype=jnp.int32), fill=n)
-    s_nid_t = compact(nid, fill=k_terminal)  # dense terminal cell per body
-    valid = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(n_subset, cap)
-
-    wpos = s_gm[:, None] * s_pos
-    idx = jnp.arange(cap, dtype=jnp.int32)
-
-    levels: list[TreeLevel] = []
-    node_ids: list[jax.Array] = []
-    for d in range(ld + 1, depth + 1):
-        prefix = s_keys >> (3 * (depth - d))
-        newseg = jnp.concatenate(
-            [jnp.ones((1,), jnp.int32), (prefix[1:] != prefix[:-1]).astype(jnp.int32)]
-        )
-        nid_d = jnp.cumsum(newseg) - 1
-        node_ids.append(nid_d)
-
-    for i, d in enumerate(range(ld + 1, depth + 1)):
-        nid_d = node_ids[i]
-        ones = jnp.where(valid, 1, 0)
-        m = jax.ops.segment_sum(jnp.where(valid, s_gm, 0.0), nid_d, num_segments=cap)
-        w = jax.ops.segment_sum(
-            jnp.where(valid[:, None], wpos, 0.0), nid_d, num_segments=cap
-        )
-        cnt = jax.ops.segment_sum(ones, nid_d, num_segments=cap)
-        com = w / jnp.maximum(m, 1e-30)[:, None]
-        start = jax.ops.segment_min(
-            jnp.where(valid, s_orig, n), nid_d, num_segments=cap
-        )
-        start = jnp.where(cnt > 0, start, 0)
-        if d < depth:
-            child_nid = node_ids[i + 1]
-            first = jax.ops.segment_min(
-                jnp.where(valid, child_nid, cap), nid_d, num_segments=cap
-            )
-            last = jax.ops.segment_max(
-                jnp.where(valid, child_nid, -1), nid_d, num_segments=cap
-            )
-            child_start = jnp.where(cnt > 0, first, 0)
-            child_count = jnp.where(cnt > 0, last - first + 1, 0)
-        else:
-            child_start = jnp.zeros((cap,), jnp.int32)
-            child_count = jnp.zeros((cap,), jnp.int32)
-        levels.append(
-            TreeLevel(
-                com=com,
-                mass=m,  # holds G*mass (matches the kernel's gm convention)
-                count=cnt,
-                start=start,
-                child_start=child_start.astype(jnp.int32),
-                child_count=child_count.astype(jnp.int32),
-            )
-        )
-
-    # Bridge: dense terminal cell -> its level-(ld+1) subset children.
-    nid_first = node_ids[0]
-    bf = jax.ops.segment_min(
-        jnp.where(valid, nid_first, cap), s_nid_t, num_segments=k_terminal
-    )
-    bl = jax.ops.segment_max(
-        jnp.where(valid, nid_first, -1), s_nid_t, num_segments=k_terminal
-    )
-    has = bl >= bf
-    child_start = jnp.where(has, bf, 0).astype(jnp.int32)
-    child_count = jnp.where(has, bl - bf + 1, 0).astype(jnp.int32)
-
-    return DeepSubset(
-        levels=levels,
-        child_start=child_start.reshape(1, k_terminal),
-        child_count=child_count.reshape(1, k_terminal),
-        n_subset=n_subset,
     )

@@ -131,3 +131,26 @@ def test_cli_write_every(tmp_path):
     rows, n = read_trajectory(out)
     # frames 0, 10, 20, ..., 100 -> 11 frames
     assert rows.shape == (11 * 10, 5)
+
+
+def test_cli_persistent_resort(tmp_path, capsys):
+    """--resort-every end-to-end: the persistent-Morton-order path must
+    produce the same frame layout and a trajectory consistent with the
+    standard fused path on the same input."""
+    out_p = tmp_path / "persist.csv"
+    out_f = tmp_path / "fused.csv"
+    common = [
+        os.path.join(DATA_DIR, "100_bodies_g1.csv"),
+        "0", "0.3", "0.1",
+        "--algo", "barnes-hut",
+        "--bh-traversal", "fused",
+        "--bh-group-size", "128",
+    ]
+    rc = main(common[:4] + [str(out_p)] + common[4:] + ["--resort-every", "2"])
+    assert rc == 0
+    rc = main(common[:4] + [str(out_f)] + common[4:])
+    assert rc == 0
+    rows_p, n = read_trajectory(out_p)
+    rows_f, _ = read_trajectory(out_f)
+    assert n == 100 and rows_p.shape == rows_f.shape == (4 * 100, 5)
+    np.testing.assert_allclose(rows_p, rows_f, atol=2e-4, rtol=0)
