@@ -120,7 +120,7 @@ def _fused_kernel(
     ps_ref,  # ANY (4, NP) f32 — planar sorted sources [x; y; z; Gm]
     # outputs
     acc_ref,  # VMEM (1, B, 4) f32
-    stats_ref,  # SMEM (G, 8) i32 (full array; row per program)
+    stats_ref,  # VMEM (1, 128) i32 block per program (lanes 0..4 = stats)
     # scratch
     st,  # SMEM (16,) i32 — kernel state
     stack,  # SMEM (STACK_CAP,) i32
@@ -142,12 +142,12 @@ def _fused_kernel(
     ld: int,
     rb: int,
 ):
-    SP, NSRC, NRNG, ROWS, PEND_S, PEND_E, POPS, NNEAR, TSRC = range(9)
+    SP, NSRC, NRNG, ROWS, PEND_S, PEND_E, POPS, NNEAR, TSRC, OVF = range(10)
     g = pl.program_id(0)
     lanes = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     l8 = lax.broadcasted_iota(jnp.int32, (1, 8), 1)
 
-    for k in range(9):
+    for k in range(10):
         st[k] = 0
     ax[...] = jnp.zeros_like(ax)
     ay[...] = jnp.zeros_like(ay)
@@ -156,10 +156,6 @@ def _fused_kernel(
     # poison the whole accumulation through 0 * NaN — zero it all
     srcacc[...] = jnp.zeros_like(srcacc)
     rngc[...] = jnp.zeros_like(rngc)
-    stats_ref[g, S_OVF] = 0  # set to 1 on stack overflow, never cleared
-    stats_ref[g, 5] = 0
-    stats_ref[g, 6] = 0
-    stats_ref[g, 7] = 0
 
     pgb = pg_ref[0]  # (B, 4)
     xi, yi, zi = pgb[:, 0:1], pgb[:, 1:2], pgb[:, 2:3]
@@ -376,7 +372,7 @@ def _fused_kernel(
 
         @pl.when(sp2 > STACK_CAP)
         def _():
-            stats_ref[g, S_OVF] = 1
+            st[OVF] = 1
 
         return jnp.minimum(sp2, STACK_CAP)
 
@@ -399,10 +395,14 @@ def _fused_kernel(
     acc_ref[0, :, 1:2] = ay[...]
     acc_ref[0, :, 2:3] = az[...]
     acc_ref[0, :, 3:4] = jnp.zeros_like(ax)
-    stats_ref[g, S_POPS] = st[POPS]
-    stats_ref[g, S_SRC] = st[TSRC]
-    stats_ref[g, S_NEAR] = st[NNEAR]
-    stats_ref[g, S_ROWS] = 0
+    # one vector write per program: SMEM stats arrays scale with the
+    # group count and overflow the 1 MB SMEM budget at 10M+ bodies
+    stats_ref[...] = (
+        jnp.where(lanes == S_POPS, st[POPS], 0)
+        + jnp.where(lanes == S_SRC, st[TSRC], 0)
+        + jnp.where(lanes == S_NEAR, st[NNEAR], 0)
+        + jnp.where(lanes == S_OVF, st[OVF], 0)
+    )
 
 
 def fused_group_forces(
@@ -447,11 +447,11 @@ def fused_group_forces(
         ],
         out_specs=[
             pl.BlockSpec((1, b, 4), lambda g: (g, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 128), lambda g: (g, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_groups, b, 4), jnp.float32),
-            jax.ShapeDtypeStruct((n_groups, 8), jnp.int32),
+            jax.ShapeDtypeStruct((n_groups, 128), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.SMEM((16,), jnp.int32),
@@ -473,7 +473,7 @@ def fused_group_forces(
         ),
         interpret=interpret,
     )(gcount, bsq, ooff, ft, it, pg, ps)
-    return acc[:, :, :3], stats
+    return acc[:, :, :3], stats[:, :8]
 
 
 def auto_ld(n: int) -> int:
