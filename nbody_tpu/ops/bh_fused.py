@@ -120,7 +120,7 @@ def _fused_kernel(
     ps_ref,  # ANY (4, NP) f32 — planar sorted sources [x; y; z; Gm]
     # outputs
     acc_ref,  # VMEM (1, B, 4) f32
-    stats_ref,  # VMEM (1, 128) i32 block per program (lanes 0..4 = stats)
+    stats_ref,  # VMEM (1, 1, 128) i32 block per program (lanes 0..4 = stats)
     # scratch
     st,  # SMEM (16,) i32 — kernel state
     stack,  # SMEM (STACK_CAP,) i32
@@ -397,7 +397,7 @@ def _fused_kernel(
     acc_ref[0, :, 3:4] = jnp.zeros_like(ax)
     # one vector write per program: SMEM stats arrays scale with the
     # group count and overflow the 1 MB SMEM budget at 10M+ bodies
-    stats_ref[...] = (
+    stats_ref[0] = (
         jnp.where(lanes == S_POPS, st[POPS], 0)
         + jnp.where(lanes == S_SRC, st[TSRC], 0)
         + jnp.where(lanes == S_NEAR, st[NNEAR], 0)
@@ -447,11 +447,11 @@ def fused_group_forces(
         ],
         out_specs=[
             pl.BlockSpec((1, b, 4), lambda g: (g, 0, 0)),
-            pl.BlockSpec((1, 128), lambda g: (g, 0)),
+            pl.BlockSpec((1, 1, 128), lambda g: (g, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_groups, b, 4), jnp.float32),
-            jax.ShapeDtypeStruct((n_groups, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_groups, 1, 128), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.SMEM((16,), jnp.int32),
@@ -473,7 +473,7 @@ def fused_group_forces(
         ),
         interpret=interpret,
     )(gcount, bsq, ooff, ft, it, pg, ps)
-    return acc[:, :, :3], stats[:, :8]
+    return acc[:, :, :3], stats[:, 0, :8]
 
 
 def auto_ld(n: int) -> int:
