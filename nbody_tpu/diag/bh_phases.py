@@ -52,7 +52,7 @@ def fused_phase_times(pos, mass, *, G, softening_sq, theta,
     b = group_size
     ld = bf.auto_ld(n)
     depth = 10
-    sl = max(0, math.ceil(math.log(max(n / (2 * b), 1.0), 8)))
+    sl = bf.auto_split_level(n, b)
     times = {}
 
     @jax.jit
@@ -84,8 +84,11 @@ def fused_phase_times(pos, mass, *, G, softening_sq, theta,
             gstart, gcount, group_idx, group_valid, keep
         )
         pg = jnp.concatenate(
-            [pos_s[group_idx], jnp.zeros((gcount.shape[0], b, 1), jnp.float32)],
-            axis=-1,
+            [
+                jnp.transpose(pos_s[group_idx], (0, 2, 1)),
+                jnp.zeros((gcount.shape[0], 1, b), jnp.float32),
+            ],
+            axis=1,
         )
         return gcount, group_idx, group_valid, pg
 
@@ -118,7 +121,7 @@ def fused_phase_times(pos, mass, *, G, softening_sq, theta,
         acc_s = (
             jnp.zeros((n, 3), jnp.float32)
             .at[dest.reshape(-1)]
-            .set(acc_g.reshape(-1, 3), mode="drop")
+            .set(jnp.transpose(acc_g, (0, 2, 1)).reshape(-1, 3), mode="drop")
         )
         return acc_s
 

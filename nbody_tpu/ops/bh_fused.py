@@ -116,10 +116,14 @@ def _fused_kernel(
     ooff_ref,  # SMEM (16,) i32 — octet offsets per parent level
     ft_ref,  # VMEM (RF, 128) f32 — octet field table
     it_ref,  # VMEM (RI, 128) i32 — octet start/count table
-    pg_ref,  # VMEM (1, B, 4) f32 — group bodies [x y z 0]
+    pg_ref,  # VMEM (1, 4, B) f32 — group bodies, planar rows [x; y; z; gm].
+    # Planar because XLA pads a pallas operand's minor dim to the 128-lane
+    # tile: a (G, B, 4) layout costs 32x its logical size in HBM (14 GB at
+    # 10M bodies).  (4, B) pads only 4 -> 8 sublanes; one in-kernel
+    # transpose (probed: supported) restores the (B, 4) working view.
     ps_ref,  # ANY (4, NP) f32 — planar sorted sources [x; y; z; Gm]
     # outputs
-    acc_ref,  # VMEM (1, B, 4) f32
+    acc_ref,  # VMEM (1, 4, B) f32 — planar [ax; ay; az; 0] (same reason)
     stats_ref,  # VMEM (1, 1, 128) i32 block per program (lanes 0..4 = stats)
     # scratch
     st,  # SMEM (16,) i32 — kernel state
@@ -157,7 +161,7 @@ def _fused_kernel(
     srcacc[...] = jnp.zeros_like(srcacc)
     rngc[...] = jnp.zeros_like(rngc)
 
-    pgb = pg_ref[0]  # (B, 4)
+    pgb = jnp.transpose(pg_ref[0])  # (4, B) -> (B, 4)
     xi, yi, zi = pgb[:, 0:1], pgb[:, 1:2], pgb[:, 2:3]
 
     # ---- burst: evaluate all staged source rows against the group -------
@@ -391,10 +395,11 @@ def _fused_kernel(
 
         burst()
 
-    acc_ref[0, :, 0:1] = ax[...]
-    acc_ref[0, :, 1:2] = ay[...]
-    acc_ref[0, :, 2:3] = az[...]
-    acc_ref[0, :, 3:4] = jnp.zeros_like(ax)
+    acc_ref[0] = jnp.transpose(
+        jnp.concatenate(
+            [ax[...], ay[...], az[...], jnp.zeros_like(ax[...])], axis=1
+        )
+    )
     # one vector write per program: SMEM stats arrays scale with the
     # group count and overflow the 1 MB SMEM budget at 10M+ bodies
     stats_ref[0] = (
@@ -421,8 +426,9 @@ def fused_group_forces(
     burst_rows: int = 16,
     interpret: bool = False,
 ):
-    """Run the fused kernel: (G,B,3) accelerations + (G,8) stats."""
-    n_groups, b, _ = pg.shape
+    """Run the fused kernel on planar (G,4,B) groups: (G,3,B) planar
+    accelerations + (G,8) stats."""
+    n_groups, _, b = pg.shape
     rb = burst_rows
     grid = (n_groups,)
     kern = functools.partial(
@@ -442,15 +448,15 @@ def fused_group_forces(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, 4), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, 4, b), lambda g: (g, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, b, 4), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, 4, b), lambda g: (g, 0, 0)),
             pl.BlockSpec((1, 1, 128), lambda g: (g, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_groups, b, 4), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups, 4, b), jnp.float32),
             jax.ShapeDtypeStruct((n_groups, 1, 128), jnp.int32),
         ],
         scratch_shapes=[
@@ -473,7 +479,17 @@ def fused_group_forces(
         ),
         interpret=interpret,
     )(gcount, bsq, ooff, ft, it, pg, ps)
-    return acc[:, :, :3], stats[:, 0, :8]
+    return acc[:, :3, :], stats[:, 0, :8]
+
+
+def auto_split_level(n: int, b: int) -> int:
+    """Coarse-cell level for group chunking: cells hold ~2B bodies, so
+    B-body chunks inside a cell stay mostly full.  Round to the NEAREST
+    level: rounding up can land the cell count far above n/2B (e.g. 10M
+    bodies, B=1024: ceil gives 32768 cells of 305 bodies — 4.3 groups'
+    capacity per 1024 real bodies), exploding the static group capacity
+    and the padded-slot volume."""
+    return max(0, round(math.log(max(n / (2.0 * b), 1.0), 8)))
 
 
 def auto_ld(n: int) -> int:
@@ -523,7 +539,7 @@ def barneshut_fused(
     # then mostly FULL (fuller blocks amortize the per-group traversal and
     # waste no eval lanes on padding), and the group count stays near
     # n / B + #occupied cells ~ 1.5 * n / B (bounds `keep` below).
-    sl = max(0, math.ceil(math.log(max(n / (2 * b), 1.0), 8)))
+    sl = auto_split_level(n, b)
 
     perm, keys, border = morton_sort(pos, depth)
     pos_s = pos[perm].astype(jnp.float32)
@@ -541,7 +557,11 @@ def barneshut_fused(
         gstart, gcount, group_idx, group_valid, keep
     )
     pg = jnp.concatenate(
-        [pos_s[group_idx], jnp.zeros((keep, b, 1), jnp.float32)], axis=-1
+        [
+            jnp.transpose(pos_s[group_idx], (0, 2, 1)),
+            jnp.zeros((keep, 1, b), jnp.float32),
+        ],
+        axis=1,
     )
 
     np_pad = -(-n // 128) * 128
@@ -576,7 +596,7 @@ def barneshut_fused(
     acc_s = (
         jnp.zeros((n, 3), jnp.float32)
         .at[dest.reshape(-1)]
-        .set(acc_g.reshape(-1, 3), mode="drop")
+        .set(jnp.transpose(acc_g, (0, 2, 1)).reshape(-1, 3), mode="drop")
     )
     acc = jnp.zeros((n, 3), jnp.float32).at[perm].set(acc_s).astype(dtype)
 

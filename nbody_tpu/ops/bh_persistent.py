@@ -47,6 +47,7 @@ from jax import lax
 from nbody_tpu.core import constants
 from nbody_tpu.ops.bh_fused import (
     auto_ld,
+    auto_split_level,
     fused_group_forces,
     pack_ft,
     pack_it,
@@ -61,9 +62,11 @@ _SENT_KEY = jnp.int32(1 << 30)
 class GroupState(NamedTuple):
     """Morton-persistent integrator state (all shapes static).
 
-    pg:    (G, B, 4) f32 [x y z gm]; pads duplicate the group's first body
-           with gm = 0
-    vel:   (G, B, 3) f32
+    pg:    (G, 4, B) f32 planar rows [x; y; z; gm]; pads duplicate the
+           group's first body with gm = 0.  Planar (bodies on lanes)
+           because pg feeds pallas_call directly and a (..., 4) minor dim
+           is padded to the 128-lane tile (32x HBM blowup at scale).
+    vel:   (G, 3, B) f32 planar
     valid: (G, B) bool
     gcount:(G,) i32
     orig:  (G, B) i32 original body index; pads -> N (scatter-dropped)
@@ -71,7 +74,7 @@ class GroupState(NamedTuple):
     it:    (RI, 128) i32 static start/span octet table (slot-index space)
     bsq:   (16,) f32 (border / 2^level)^2
     border:() f32
-    acc:   (G, B, 3) f32 force at current positions (KDK carry)
+    acc:   (G, 3, B) f32 planar force at current positions (KDK carry)
     """
 
     pg: jax.Array
@@ -89,7 +92,7 @@ class GroupState(NamedTuple):
 def _layout(n: int, group_size: int):
     b = group_size
     ld = auto_ld(n)
-    sl = max(0, math.ceil(math.log(max(n / (2 * b), 1.0), 8)))
+    sl = auto_split_level(n, b)
     # exact static bound: every split-level cell adds at most one partial
     # chunk (group_bodies' own capacity) — no compaction, no trim risk
     g_cap = n // b + min(8**sl, n) + 1
@@ -104,9 +107,9 @@ def _aux_tables(ld: int):
 def _ft_from_state(pg, nid, ld: int):
     """Per-step float-table rebuild: segment COM/G-mass over stale cells."""
     k_terminal = 8**ld
-    m = pg.shape[0] * pg.shape[1]
-    pos_f = pg[..., :3].reshape(m, 3)
-    gm_f = pg[..., 3].reshape(m)
+    m = pg.shape[0] * pg.shape[2]
+    pos_f = jnp.transpose(pg[:, :3, :], (0, 2, 1)).reshape(m, 3)
+    gm_f = pg[:, 3, :].reshape(m)
     nid_f = nid.reshape(m)
     w = jax.ops.segment_sum(
         gm_f[:, None] * pos_f, nid_f, num_segments=k_terminal + 1
@@ -181,14 +184,14 @@ def _resort(pos_f, vel_f, gm_f, orig_f, n: int, group_size: int):
 
     pg = jnp.concatenate(
         [
-            pos_s[group_idx].astype(jnp.float32),
-            jnp.where(group_valid, gm_s[group_idx], 0.0)[..., None].astype(
+            jnp.transpose(pos_s[group_idx].astype(jnp.float32), (0, 2, 1)),
+            jnp.where(group_valid, gm_s[group_idx], 0.0)[:, None, :].astype(
                 jnp.float32
             ),
         ],
-        axis=-1,
+        axis=1,
     )
-    vel_g = vel_s[group_idx].astype(jnp.float32)
+    vel_g = jnp.transpose(vel_s[group_idx].astype(jnp.float32), (0, 2, 1))
     orig_g = jnp.where(group_valid, orig_s[group_idx], n).astype(jnp.int32)
     nid_g = jnp.where(
         group_valid,
@@ -258,13 +261,13 @@ def init_state(
 
 def resort(state: GroupState, n: int, group_size: int) -> GroupState:
     """Periodic resort: flatten the group layout and rebuild."""
-    g, b, _ = state.pg.shape
+    g, _, b = state.pg.shape
     m = g * b
     # pads carry gm = 0 / orig = n already; resort keeps them inert
     return _resort(
-        state.pg[..., :3].reshape(m, 3),
-        state.vel.reshape(m, 3),
-        jnp.where(state.valid, state.pg[..., 3], 0.0).reshape(m),
+        jnp.transpose(state.pg[:, :3, :], (0, 2, 1)).reshape(m, 3),
+        jnp.transpose(state.vel, (0, 2, 1)).reshape(m, 3),
+        jnp.where(state.valid, state.pg[:, 3, :], 0.0).reshape(m),
         state.orig.reshape(m),
         n=n, group_size=group_size,
     )
@@ -280,10 +283,11 @@ def state_forces(
     burst_rows: int = 16,
     interpret: bool = False,
 ):
-    """(G, B, 3) accelerations at the state's current positions."""
-    g, b, _ = state.pg.shape
+    """(G, 3, B) planar accelerations at the state's current positions."""
+    g, _, b = state.pg.shape
     ft = _ft_from_state(state.pg, state.nid, ld)
-    ps = state.pg.reshape(g * b, 4).T  # (4, M); pads gm = 0
+    # (G, 4, B) -> planar (4, G*B): slot s of group g at lane g*B + s
+    ps = jnp.transpose(state.pg, (1, 0, 2)).reshape(4, g * b)
     acc_g, _stats = fused_group_forces(
         state.gcount, state.pg, ft, state.it, ps, state.bsq,
         _aux_tables(ld),
@@ -331,11 +335,11 @@ def kdk_steps(
     def step(carry, _):
         st = carry
         vel = st.vel + st.acc * half
-        pg = st.pg.at[..., :3].add(vel * dt)
+        pg = st.pg.at[:, :3, :].add(vel * dt)
         st = st._replace(pg=pg, vel=vel)
         acc = force(st)
         st = st._replace(vel=st.vel + acc * half, acc=acc)
-        return st, (st.pg[..., :3] if with_history else None)
+        return st, (st.pg[:, :3, :] if with_history else None)
 
     state, hist = lax.scan(step, state, None, length=n_steps)
     if with_history:
@@ -351,17 +355,23 @@ def prime(state: GroupState, **force_kw) -> GroupState:
 
 def emit(state: GroupState, n: int):
     """(pos, vel) back in the original body order (for output frames)."""
-    g, b, _ = state.pg.shape
+    g, _, b = state.pg.shape
     dest = state.orig.reshape(g * b)
     pos = (
         jnp.zeros((n, 3), jnp.float32)
         .at[dest]
-        .set(state.pg[..., :3].reshape(g * b, 3), mode="drop")
+        .set(
+            jnp.transpose(state.pg[:, :3, :], (0, 2, 1)).reshape(g * b, 3),
+            mode="drop",
+        )
     )
     vel = (
         jnp.zeros((n, 3), jnp.float32)
         .at[dest]
-        .set(state.vel.reshape(g * b, 3), mode="drop")
+        .set(
+            jnp.transpose(state.vel, (0, 2, 1)).reshape(g * b, 3),
+            mode="drop",
+        )
     )
     return pos, vel
 
@@ -405,7 +415,8 @@ def simulate_persistent(
         frame_writer(np.asarray(pos, np.float32)[None])
 
     def flush_frames(state, hist):
-        h = np.asarray(hist)  # (T, G, B, 3)
+        h = np.asarray(hist)  # (T, G, 3, B) planar
+        h = h.transpose(0, 1, 3, 2)  # -> (T, G, B, 3)
         dest = np.asarray(state.orig).reshape(-1)
         keep = dest < n
         buf = np.zeros((h.shape[0], n, 3), np.float32)

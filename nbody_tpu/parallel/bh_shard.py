@@ -56,7 +56,12 @@ from jax.sharding import PartitionSpec as P
 
 from nbody_tpu.core import constants
 from nbody_tpu.ops.barneshut import CapacityError
-from nbody_tpu.ops.bh_fused import auto_ld, fused_group_forces, pack_tables
+from nbody_tpu.ops.bh_fused import (
+    auto_ld,
+    auto_split_level,
+    fused_group_forces,
+    pack_tables,
+)
 from nbody_tpu.ops.bh_grid import grid_from_terminal, grid_offsets
 from nbody_tpu.ops.morton import morton_encode
 from nbody_tpu.parallel.mesh import BODY_AXIS, make_mesh
@@ -100,7 +105,7 @@ def fused_shard_force_fn(
         N = n_dev * C
         b = min(group_size, C)
         ld = auto_ld(N)
-        sl = max(0, math.ceil(math.log(max(N / (2 * b), 1.0), 8)))
+        sl = auto_split_level(N, b)
         k_terminal = 8**ld
         CB = _round_up(max(int(bucket_frac * C / n_dev), min(C, 256)), 128)
         C_own = n_dev * CB
@@ -224,8 +229,11 @@ def fused_shard_force_fn(
             gstart, gcount, group_idx, group_valid, keep
         )
         pg = jnp.concatenate(
-            [myf[group_idx][:, :, :3], jnp.zeros((keep, b, 1), jnp.float32)],
-            axis=-1,
+            [
+                jnp.transpose(myf[group_idx][:, :, :3], (0, 2, 1)),
+                jnp.zeros((keep, 1, b), jnp.float32),
+            ],
+            axis=1,
         )
 
         ps_l = myf.T  # (4, C_own); pads carry gm = 0, finite coords
@@ -247,7 +255,7 @@ def fused_shard_force_fn(
         acc_own = (
             jnp.zeros((C_own, 3), jnp.float32)
             .at[dest.reshape(-1)]
-            .set(acc_g.reshape(-1, 3), mode="drop")
+            .set(jnp.transpose(acc_g, (0, 2, 1)).reshape(-1, 3), mode="drop")
         )
         acc_all = lax.all_gather(acc_own, axis_name, axis=0, tiled=True)
         orig_all = lax.all_gather(myo, axis_name, axis=0, tiled=True)

@@ -58,7 +58,7 @@ def test_state_roundtrip_and_initial_forces():
     acc = np.zeros((n, 3), np.float32)
     dest = np.asarray(st.orig).reshape(-1)
     keep = dest < n
-    acc[dest[keep]] = np.asarray(st.acc).reshape(-1, 3)[keep]
+    acc[dest[keep]] = np.asarray(st.acc).transpose(0, 2, 1).reshape(-1, 3)[keep]
     want = _direct(pos, mass)
     err = np.abs(acc - want).max() / np.abs(want).max()
     assert err < 0.02, err
