@@ -44,6 +44,20 @@ def pallas_accelerations(*args, **kw):
     return fn(*args, **kw)
 
 
+def barneshut_fused(*args, **kw):
+    """Lazy re-export of the fused Pallas traverse+evaluate kernel."""
+    from nbody_tpu.ops.bh_fused import barneshut_fused as fn
+
+    return fn(*args, **kw)
+
+
+def simulate_persistent(*args, **kw):
+    """Lazy re-export of the persistent-Morton-order simulation loop."""
+    from nbody_tpu.ops.bh_persistent import simulate_persistent as fn
+
+    return fn(*args, **kw)
+
+
 __all__ = [
     "Bodies",
     "SimConfig",
@@ -52,8 +66,10 @@ __all__ = [
     "write_frames",
     "exhaustive_accelerations",
     "barneshut_accelerations",
+    "barneshut_fused",
     "pallas_accelerations",
     "leapfrog_steps",
     "simulate",
+    "simulate_persistent",
     "get_energy",
 ]
