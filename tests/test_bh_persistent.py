@@ -118,3 +118,22 @@ def test_resort_preserves_bodies():
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=0)
     # group occupancy accounts for every body exactly once
     assert int(jnp.sum(st2.gcount)) == n
+
+
+def test_persistent_long_run_energy_drift():
+    """100 KDK steps with resorts every 10: the symplectic drift bound
+    (|dE/E0| <= 1e-3, the BASELINE.md contract) must survive the
+    stale-partition approximation across many resort cycles."""
+    from nbody_tpu.diag.energy import energy_drift, get_energy
+
+    n = 400
+    pos, vel, mass = _cloud(n, seed=21)
+    vel = vel * 0.3  # loosely bound cloud
+    ke0, pe0 = get_energy(pos, vel, mass, G=G)
+    p1, v1 = simulate_persistent(
+        pos, vel, mass, 100, 1e-4, group_size=128, resort_every=10,
+        interpret=True,
+    )
+    ke1, pe1 = get_energy(p1, v1, mass, G=G)
+    drift = energy_drift(float(ke1 + pe1), float(ke0 + pe0))
+    assert abs(drift) < 1e-3, drift
