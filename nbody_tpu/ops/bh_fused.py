@@ -145,7 +145,16 @@ def _fused_kernel(
     leaf_cap: int,
     ld: int,
     rb: int,
+    debug_mode: str = "full",
 ):
+    # debug_mode bisects the kernel's serial cost centers on hardware
+    # (tools/profile_fused_stages.py): "pops" = DFS+classify only,
+    # "stage" = + staging/row machinery (no DMA, no eval), "dma" = + HBM
+    # window DMAs (no eval), "full" = production.  Static: every
+    # non-"full" branch traces away entirely in production.
+    do_stage = debug_mode != "pops"
+    do_dma = debug_mode in ("dma", "full")
+    do_eval = debug_mode == "full"
     SP, NSRC, NRNG, ROWS, PEND_S, PEND_E, POPS, NNEAR, TSRC, OVF = range(10)
     g = pl.program_id(0)
     lanes = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -171,14 +180,18 @@ def _fused_kernel(
         def brow(r, _):
             @pl.when(r < nrows)
             def _():
-                @pl.when(rowmeta[r, 0] == 1)
-                def _():
-                    # wait the body-window DMA for this row (descriptor
-                    # shape matches; offsets irrelevant for the wait)
-                    pltpu.make_async_copy(
-                        ps_ref.at[:, pl.ds(0, 128)], src.at[r], sems.at[r]
-                    ).wait()
-
+                if do_dma:
+                    @pl.when(rowmeta[r, 0] == 1)
+                    def _():
+                        # wait the body-window DMA for this row (descriptor
+                        # shape matches; offsets irrelevant for the wait)
+                        pltpu.make_async_copy(
+                            ps_ref.at[:, pl.ds(0, 128)],
+                            src.at[r],
+                            sems.at[r],
+                        ).wait()
+                if not do_eval:
+                    return
                 ms, me = rowmeta[r, 1], rowmeta[r, 2]
                 sxr = src[r, 0:1, :]
                 syr = src[r, 1:2, :]
@@ -232,10 +245,11 @@ def _fused_kernel(
         def wbody(w):
             row = alloc_row()
             wa = pl.multiple_of(w, 128)
-            pltpu.make_async_copy(
-                ps_ref.at[:, pl.ds(wa, 128)], src.at[row], sems.at[row]
-            ).start()
-            rowmeta[row, 0] = 1
+            if do_dma:
+                pltpu.make_async_copy(
+                    ps_ref.at[:, pl.ds(wa, 128)], src.at[row], sems.at[row]
+                ).start()
+            rowmeta[row, 0] = 1 if do_dma else 0
             rowmeta[row, 1] = jnp.maximum(s - w, 0)
             rowmeta[row, 2] = jnp.minimum(e - w, 128)
             return w + 128
@@ -327,7 +341,7 @@ def _fused_kernel(
             + jnp.where(near8, jnp.int32(1) << (l8 + 16), 0)
         )
 
-        @pl.when((bits & 0xFF) > 0)  # ---- stage far COMs ----
+        @pl.when(((bits & 0xFF) > 0) & do_stage)  # ---- stage far COMs ----
         def _():
             nsrc = st[NSRC]
             m = (lanes >> 3) == ((nsrc >> 3) & 15)
@@ -346,7 +360,7 @@ def _fused_kernel(
             def _():
                 flush_com_row()
 
-        @pl.when((bits >> 16) > 0)  # ---- stage near ranges ----
+        @pl.when(((bits >> 16) > 0) & do_stage)  # ---- stage near ranges ----
         def _():
             nr = st[NRNG]
             m = (lanes >> 3) == ((nr >> 3) & 15)
@@ -425,9 +439,12 @@ def fused_group_forces(
     ld: int,
     burst_rows: int = 16,
     interpret: bool = False,
+    debug_mode: str = "full",
 ):
     """Run the fused kernel on planar (G,4,B) groups: (G,3,B) planar
-    accelerations + (G,8) stats."""
+    accelerations + (G,8) stats.  debug_mode != "full" disables stages
+    for hardware cost bisection (tools/profile_fused_stages.py) — the
+    returned accelerations are then meaningless."""
     n_groups, _, b = pg.shape
     rb = burst_rows
     grid = (n_groups,)
@@ -438,6 +455,7 @@ def fused_group_forces(
         leaf_cap=int(leaf_cap),
         ld=int(ld),
         rb=rb,
+        debug_mode=debug_mode,
     )
     acc, stats = pl.pallas_call(
         kern,
@@ -510,6 +528,7 @@ def auto_ld(n: int) -> int:
         "burst_rows",
         "interpret",
         "return_stats",
+        "debug_mode",
     ),
 )
 def barneshut_fused(
@@ -525,6 +544,7 @@ def barneshut_fused(
     burst_rows: int = 16,
     interpret: bool = False,
     return_stats: bool = False,
+    debug_mode: str = "full",
 ):
     """Barnes-Hut accelerations through the fused Pallas kernel (ForceFn
     signature).  f32 compute; exact (not COM-merged) forces for clusters
@@ -590,6 +610,7 @@ def barneshut_fused(
         ld=ld,
         burst_rows=burst_rows,
         interpret=interpret,
+        debug_mode=debug_mode,
     )
 
     dest = jnp.where(group_valid, group_idx, n)  # n -> dropped
