@@ -134,9 +134,9 @@ def _fused_kernel(
     rngs,  # VMEM (1, 128) i32 — near-range start staging
     rngc,  # VMEM (1, 128) i32 — near-range count staging
     src,  # VMEM (RB, 4, 128) f32 — staged source rows
-    ax,  # VMEM (B, 1) f32
-    ay,  # VMEM (B, 1) f32
-    az,  # VMEM (B, 1) f32
+    ax,  # VMEM (B, 128) f32 lane-accumulators (reduced once at the end)
+    ay,  # VMEM (B, 128) f32
+    az,  # VMEM (B, 128) f32
     sems,  # DMA sems (RB,)
     vsem,  # DMA sems (3,) — rng bulk x2, COM row flush
     *,
@@ -205,9 +205,13 @@ def _fused_kernel(
                 r2 = dx * dx + dy * dy + dz * dz + eps2
                 inv = lax.rsqrt(r2)
                 w = sgr * (inv * inv * inv)
-                ax[...] += jnp.sum(w * dx, axis=1, keepdims=True)
-                ay[...] += jnp.sum(w * dy, axis=1, keepdims=True)
-                az[...] += jnp.sum(w * dz, axis=1, keepdims=True)
+                # accumulate in (B, 128) and reduce ONCE at kernel end:
+                # the three per-row cross-lane reductions were the
+                # dominant eval cost (stage bisect: eval 274 ms of the
+                # 648 ms 1M kernel; reductions, not flops)
+                ax[...] += w * dx
+                ay[...] += w * dy
+                az[...] += w * dz
 
             return 0
 
@@ -409,10 +413,11 @@ def _fused_kernel(
 
         burst()
 
+    axs = jnp.sum(ax[...], axis=1, keepdims=True)
+    ays = jnp.sum(ay[...], axis=1, keepdims=True)
+    azs = jnp.sum(az[...], axis=1, keepdims=True)
     acc_ref[0] = jnp.transpose(
-        jnp.concatenate(
-            [ax[...], ay[...], az[...], jnp.zeros_like(ax[...])], axis=1
-        )
+        jnp.concatenate([axs, ays, azs, jnp.zeros_like(axs)], axis=1)
     )
     # one vector write per program: SMEM stats arrays scale with the
     # group count and overflow the 1 MB SMEM budget at 10M+ bodies
@@ -486,9 +491,9 @@ def fused_group_forces(
             pltpu.VMEM((1, 128), jnp.int32),
             pltpu.VMEM((1, 128), jnp.int32),
             pltpu.VMEM((rb, 4, 128), jnp.float32),
-            pltpu.VMEM((b, 1), jnp.float32),
-            pltpu.VMEM((b, 1), jnp.float32),
-            pltpu.VMEM((b, 1), jnp.float32),
+            pltpu.VMEM((b, 128), jnp.float32),
+            pltpu.VMEM((b, 128), jnp.float32),
+            pltpu.VMEM((b, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((rb,)),
             pltpu.SemaphoreType.DMA((3,)),
         ],
