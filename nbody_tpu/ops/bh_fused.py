@@ -381,13 +381,15 @@ def _fused_kernel(
         obits = (bits >> 8) & 0xFF
         ob = ooff_ref[d + 1] + 8 * (ot - ooff_ref[d])
 
-        def push_k(k, sp2):  # ---- push open children ----
+        def push_k(k, sp2):  # ---- push open children (branchless) ----
+            # unconditional store + conditional advance: a skipped child's
+            # slot is overwritten by the next push or never read (sp bounds
+            # reads), and dropping the @pl.when removes 8 predicated SMEM
+            # stores from the serial pop path
             hit = ((obits >> k) & 1) > 0
-
-            @pl.when(hit & (sp2 < STACK_CAP))
-            def _():
-                stack[sp2] = ((d + 1) << _LV_SHIFT) | (ob + k)
-
+            stack[jnp.minimum(sp2, STACK_CAP - 1)] = (
+                ((d + 1) << _LV_SHIFT) | (ob + k)
+            )
             return sp2 + jnp.where(hit, 1, 0)
 
         sp2 = lax.fori_loop(0, 8, push_k, sp)
