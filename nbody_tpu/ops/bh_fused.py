@@ -145,6 +145,7 @@ def _fused_kernel(
     leaf_cap: int,
     ld: int,
     rb: int,
+    pb: int = 1,
     debug_mode: str = "full",
 ):
     # debug_mode bisects the kernel's serial cost centers on hardware
@@ -307,92 +308,110 @@ def _fused_kernel(
     def pop_cond(sp):
         return sp > 0
 
+    n_oct = grid_offsets(ld)[ld]
+
     def pop_body(sp):
-        sp = sp - 1
-        st[POPS] = st[POPS] + 1
-        e = stack[sp]
-        d = e >> _LV_SHIFT  # parent level; children live at d + 1
-        ot = e & _OT_MASK
+        # Batched pop: classify up to `pb` stack entries per iteration
+        # BEFORE any of them stage or push.  At pb=1 each pop serializes
+        # on its own vector->scalar mask reduction (~200 ns latency, the
+        # measured floor: 320 ms of the 1M kernel); the batch's
+        # independent classify chains and reductions pipeline instead.
+        # All entries are consumed (read) in the classify phase, so the
+        # push phase may safely overwrite the popped slots.
+        take = jnp.minimum(sp, pb)
+        sp = sp - take
+        st[POPS] = st[POPS] + take
 
-        frow = ft_ref[pl.ds(ot >> 2, 1), :]
-        fb = (ot & 3) * 32
-        cx8 = pltpu.roll(frow, (128 - fb) & 127, axis=1)[:, 0:8]
-        cy8 = pltpu.roll(frow, (120 - fb) & 127, axis=1)[:, 0:8]
-        cz8 = pltpu.roll(frow, (112 - fb) & 127, axis=1)[:, 0:8]
-        gm8 = pltpu.roll(frow, (104 - fb) & 127, axis=1)[:, 0:8]
-        irow = it_ref[pl.ds(ot >> 3, 1), :]
-        ib = (ot & 7) * 16
-        st8 = pltpu.roll(irow, (128 - ib) & 127, axis=1)[:, 0:8]
-        ct8 = pltpu.roll(irow, (120 - ib) & 127, axis=1)[:, 0:8]
+        slots = []
+        for j in range(pb):
+            # slot j >= take reads stale stack memory: clamp the decoded
+            # level/octet into table range (garbage math, gated out below)
+            e = stack[jnp.minimum(sp + j, STACK_CAP - 1)]
+            d = jnp.clip(e >> _LV_SHIFT, 0, 14)
+            ot = jnp.clip(e & _OT_MASK, 0, n_oct - 1)
 
-        # MAC: distance from child COM to the group AABB vs child size
-        ddx = cx8 - jnp.clip(cx8, lox, hix)
-        ddy = cy8 - jnp.clip(cy8, loy, hiy)
-        ddz = cz8 - jnp.clip(cz8, loz, hiz)
-        d2 = ddx * ddx + ddy * ddy + ddz * ddz
-        exists = ct8 > 0
-        far8 = exists & (theta_sq * d2 > bsq_ref[d + 1])
-        if ld > 1:
-            terminal = d + 1 >= ld
-        else:
-            terminal = True
-        near8 = exists & ~far8 & ((ct8 <= leaf_cap) | terminal)
-        open8 = exists & ~far8 & ~near8
-        # ONE vector->scalar reduction per pop: all three masks as bits
-        bits = jnp.sum(
-            jnp.where(far8, jnp.int32(1) << l8, 0)
-            + jnp.where(open8, jnp.int32(1) << (l8 + 8), 0)
-            + jnp.where(near8, jnp.int32(1) << (l8 + 16), 0)
-        )
+            frow = ft_ref[pl.ds(ot >> 2, 1), :]
+            fb = (ot & 3) * 32
+            cx8 = pltpu.roll(frow, (128 - fb) & 127, axis=1)[:, 0:8]
+            cy8 = pltpu.roll(frow, (120 - fb) & 127, axis=1)[:, 0:8]
+            cz8 = pltpu.roll(frow, (112 - fb) & 127, axis=1)[:, 0:8]
+            gm8 = pltpu.roll(frow, (104 - fb) & 127, axis=1)[:, 0:8]
+            irow = it_ref[pl.ds(ot >> 3, 1), :]
+            ib = (ot & 7) * 16
+            st8 = pltpu.roll(irow, (128 - ib) & 127, axis=1)[:, 0:8]
+            ct8 = pltpu.roll(irow, (120 - ib) & 127, axis=1)[:, 0:8]
 
-        @pl.when(((bits & 0xFF) > 0) & do_stage)  # ---- stage far COMs ----
-        def _():
-            nsrc = st[NSRC]
-            m = (lanes >> 3) == ((nsrc >> 3) & 15)
-            srcacc[0:1, :] = jnp.where(m, pltpu.repeat(cx8, 16, axis=1), srcacc[0:1, :])
-            srcacc[1:2, :] = jnp.where(m, pltpu.repeat(cy8, 16, axis=1), srcacc[1:2, :])
-            srcacc[2:3, :] = jnp.where(m, pltpu.repeat(cz8, 16, axis=1), srcacc[2:3, :])
-            srcacc[3:4, :] = jnp.where(
-                m,
-                pltpu.repeat(jnp.where(far8, gm8, 0.0), 16, axis=1),
-                srcacc[3:4, :],
+            # MAC: distance from child COM to the group AABB vs child size
+            ddx = cx8 - jnp.clip(cx8, lox, hix)
+            ddy = cy8 - jnp.clip(cy8, loy, hiy)
+            ddz = cz8 - jnp.clip(cz8, loz, hiz)
+            d2 = ddx * ddx + ddy * ddy + ddz * ddz
+            exists = ct8 > 0
+            far8 = exists & (theta_sq * d2 > bsq_ref[d + 1])
+            if ld > 1:
+                terminal = d + 1 >= ld
+            else:
+                terminal = True
+            near8 = exists & ~far8 & ((ct8 <= leaf_cap) | terminal)
+            open8 = exists & ~far8 & ~near8
+            # ONE vector->scalar reduction per slot: all three masks as bits
+            bits = jnp.sum(
+                jnp.where(far8, jnp.int32(1) << l8, 0)
+                + jnp.where(open8, jnp.int32(1) << (l8 + 8), 0)
+                + jnp.where(near8, jnp.int32(1) << (l8 + 16), 0)
             )
-            st[NSRC] = nsrc + 8
-            st[TSRC] = st[TSRC] + 8
+            slots.append((bits, cx8, cy8, cz8, gm8, st8, ct8, far8, near8, d, ot))
 
-            @pl.when(((nsrc + 8) & 127) == 0)
-            def _():
-                flush_com_row()
+        sp2 = sp
+        for j, (bits, cx8, cy8, cz8, gm8, st8_, ct8, far8, near8, d, ot) in enumerate(slots):
+            valid = j < take
 
-        @pl.when(((bits >> 16) > 0) & do_stage)  # ---- stage near ranges ----
-        def _():
-            nr = st[NRNG]
-            m = (lanes >> 3) == ((nr >> 3) & 15)
-            rngs[...] = jnp.where(m, pltpu.repeat(st8, 16, axis=1), rngs[...])
-            rngc[...] = jnp.where(
-                m, pltpu.repeat(jnp.where(near8, ct8, 0), 16, axis=1), rngc[...]
-            )
-            st[NRNG] = nr + 8
+            @pl.when(valid & ((bits & 0xFF) > 0) & do_stage)  # -- far COMs --
+            def _(cx8=cx8, cy8=cy8, cz8=cz8, gm8=gm8, far8=far8):
+                nsrc = st[NSRC]
+                m = (lanes >> 3) == ((nsrc >> 3) & 15)
+                srcacc[0:1, :] = jnp.where(m, pltpu.repeat(cx8, 16, axis=1), srcacc[0:1, :])
+                srcacc[1:2, :] = jnp.where(m, pltpu.repeat(cy8, 16, axis=1), srcacc[1:2, :])
+                srcacc[2:3, :] = jnp.where(m, pltpu.repeat(cz8, 16, axis=1), srcacc[2:3, :])
+                srcacc[3:4, :] = jnp.where(
+                    m,
+                    pltpu.repeat(jnp.where(far8, gm8, 0.0), 16, axis=1),
+                    srcacc[3:4, :],
+                )
+                st[NSRC] = nsrc + 8
+                st[TSRC] = st[TSRC] + 8
 
-            @pl.when(((nr + 8) & 127) == 0)
-            def _():
-                bulk_ranges()
+                @pl.when(((nsrc + 8) & 127) == 0)
+                def _():
+                    flush_com_row()
 
-        obits = (bits >> 8) & 0xFF
-        ob = ooff_ref[d + 1] + 8 * (ot - ooff_ref[d])
+            @pl.when(valid & ((bits >> 16) > 0) & do_stage)  # -- near ranges --
+            def _(st8_=st8_, ct8=ct8, near8=near8):
+                nr = st[NRNG]
+                m = (lanes >> 3) == ((nr >> 3) & 15)
+                rngs[...] = jnp.where(m, pltpu.repeat(st8_, 16, axis=1), rngs[...])
+                rngc[...] = jnp.where(
+                    m, pltpu.repeat(jnp.where(near8, ct8, 0), 16, axis=1), rngc[...]
+                )
+                st[NRNG] = nr + 8
 
-        def push_k(k, sp2):  # ---- push open children (branchless) ----
-            # unconditional store + conditional advance: a skipped child's
-            # slot is overwritten by the next push or never read (sp bounds
-            # reads), and dropping the @pl.when removes 8 predicated SMEM
-            # stores from the serial pop path
-            hit = ((obits >> k) & 1) > 0
-            stack[jnp.minimum(sp2, STACK_CAP - 1)] = (
-                ((d + 1) << _LV_SHIFT) | (ob + k)
-            )
-            return sp2 + jnp.where(hit, 1, 0)
+                @pl.when(((nr + 8) & 127) == 0)
+                def _():
+                    bulk_ranges()
 
-        sp2 = lax.fori_loop(0, 8, push_k, sp)
+            obits = jnp.where(valid, (bits >> 8) & 0xFF, 0)
+            ob = ooff_ref[d + 1] + 8 * (ot - ooff_ref[d])
+            entry = (d + 1) << _LV_SHIFT
+
+            def push_k(k, sp2, obits=obits, ob=ob, entry=entry):
+                # branchless push: unconditional store + conditional
+                # advance — a skipped child's slot is overwritten by the
+                # next push or never read (sp bounds reads)
+                hit = ((obits >> k) & 1) > 0
+                stack[jnp.minimum(sp2, STACK_CAP - 1)] = entry | (ob + k)
+                return sp2 + jnp.where(hit, 1, 0)
+
+            sp2 = lax.fori_loop(0, 8, push_k, sp2)
 
         @pl.when(sp2 > STACK_CAP)
         def _():
@@ -445,6 +464,7 @@ def fused_group_forces(
     leaf_cap: int,
     ld: int,
     burst_rows: int = 16,
+    pop_batch: int = 1,
     interpret: bool = False,
     debug_mode: str = "full",
 ):
@@ -462,6 +482,7 @@ def fused_group_forces(
         leaf_cap=int(leaf_cap),
         ld=int(ld),
         rb=rb,
+        pb=int(pop_batch),
         debug_mode=debug_mode,
     )
     acc, stats = pl.pallas_call(
