@@ -413,10 +413,13 @@ def main(argv=None) -> int:
 
         kw = dict(G=args.G, softening_sq=args.softening2, theta=args.theta)
         if backend.endswith("/fused"):
+            import jax as _jax_t
+
             bh_kw = _bh_kwargs(args)
             times = bh_phases.fused_phase_times(
                 bodies.pos, bodies.mass,
                 **kw,
+                interpret=_jax_t.default_backend() == "cpu",
                 **{k: v for k, v in bh_kw.items()
                    if k in ("group_size", "leaf_cap")},
             )

@@ -20,11 +20,7 @@ import numpy as np
 
 
 def _timed(fn, *args, reps=2):
-    import jax
-
-    def fence(out):
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        np.asarray(leaf.ravel()[:1])
+    from nbody_tpu.diag.timing import fence
 
     out = fn(*args)
     fence(out)
@@ -38,7 +34,8 @@ def _timed(fn, *args, reps=2):
 
 
 def fused_phase_times(pos, mass, *, G, softening_sq, theta,
-                      group_size=1024, leaf_cap=64, reps=2):
+                      group_size=1024, leaf_cap=64, reps=2,
+                      interpret=False):
     """Phase times (dict name -> seconds) for the fused-kernel path."""
     import jax
     import jax.numpy as jnp
@@ -103,11 +100,11 @@ def fused_phase_times(pos, mass, *, G, softening_sq, theta,
         ps = jnp.pad(ps, ((0, 0), (0, np_pad - n)))
         lev = jnp.arange(16, dtype=jnp.float32)
         bsq = (border.astype(jnp.float32) / jnp.exp2(lev)) ** 2
-        ooff = jnp.asarray(grid_offsets(6), jnp.int32)
-        ooff = jnp.pad(ooff, (0, 16 - ooff.shape[0]))
+        ooff = bf.aux_octet_offsets()
         acc_g, stats = bf.fused_group_forces(
             gcount, pg, ft, it, ps, bsq, ooff,
             theta=theta, eps2=softening_sq, leaf_cap=leaf_cap, ld=ld,
+            interpret=interpret,
         )
         return acc_g, stats
 
@@ -130,7 +127,7 @@ def fused_phase_times(pos, mass, *, G, softening_sq, theta,
     fused = jax.jit(
         functools.partial(
             bf.barneshut_fused, G=G, softening_sq=softening_sq, theta=theta,
-            group_size=group_size, leaf_cap=leaf_cap,
+            group_size=group_size, leaf_cap=leaf_cap, interpret=interpret,
         )
     )
     times["TOTAL (fused jit)"], _ = _timed(fused, pos, mass, reps=reps)
@@ -192,7 +189,7 @@ def flat_phase_times(pos, mass, *, G, softening_sq, theta, reps=2, **bh_kw):
             theta=theta, **bh_kw,
         )
     )
-    times["TOTAL (fused jit)"], _ = _timed(total, pos, mass, reps=reps)
+    times["TOTAL (one jit)"], _ = _timed(total, pos, mass, reps=reps)
     return times
 
 

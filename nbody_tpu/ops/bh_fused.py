@@ -406,9 +406,14 @@ def _fused_kernel(
             def push_k(k, sp2, obits=obits, ob=ob, entry=entry):
                 # branchless push: unconditional store + conditional
                 # advance — a skipped child's slot is overwritten by the
-                # next push or never read (sp bounds reads)
-                hit = ((obits >> k) & 1) > 0
-                stack[jnp.minimum(sp2, STACK_CAP - 1)] = entry | (ob + k)
+                # next push or never read (sp bounds reads).  Children go
+                # on DESCENDING (7..0) so the LIFO pops them in ASCENDING
+                # Morton order: near ranges from successive pops then
+                # arrive in ascending body order and the contiguous-run
+                # merge (flush_pending s == PEND_E) actually fires.
+                c = 7 - k
+                hit = ((obits >> c) & 1) > 0
+                stack[jnp.minimum(sp2, STACK_CAP - 1)] = entry | (ob + c)
                 return sp2 + jnp.where(hit, 1, 0)
 
             sp2 = lax.fori_loop(0, 8, push_k, sp2)
@@ -528,6 +533,15 @@ def fused_group_forces(
     return acc[:, :3, :], stats[:, 0, :8]
 
 
+def aux_octet_offsets():
+    """(16,) i32 octet offsets per parent level for the kernel's SMEM
+    input: OOFF[d] = (8^d - 1) // 7.  Fixed at level 6 — the deepest the
+    dense grid reaches (auto_ld cap; offsets beyond fit int32 only to
+    level 7 anyway) — and zero-padded to 16 entries."""
+    ooff = jnp.asarray(grid_offsets(6), jnp.int32)
+    return jnp.pad(ooff, (0, 16 - ooff.shape[0]))
+
+
 def auto_split_level(n: int, b: int) -> int:
     """Coarse-cell level for group chunking: cells hold ~2B bodies, so
     B-body chunks inside a cell stay mostly full.  Round to the NEAREST
@@ -620,9 +634,7 @@ def barneshut_fused(
 
     lev = jnp.arange(16, dtype=jnp.float32)
     bsq = (border.astype(jnp.float32) / jnp.exp2(lev)) ** 2
-    # octet offsets fit int32 only up to level 7 — all the kernel visits
-    ooff = jnp.asarray(grid_offsets(6), jnp.int32)
-    ooff = jnp.pad(ooff, (0, 16 - ooff.shape[0]))
+    ooff = aux_octet_offsets()
 
     acc_g, stats = fused_group_forces(
         gcount,

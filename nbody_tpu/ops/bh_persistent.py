@@ -48,6 +48,7 @@ from nbody_tpu.core import constants
 from nbody_tpu.ops.bh_fused import (
     auto_ld,
     auto_split_level,
+    aux_octet_offsets,
     fused_group_forces,
     pack_ft,
     pack_it,
@@ -99,11 +100,6 @@ def _layout(n: int, group_size: int):
     return b, ld, sl, g_cap
 
 
-def _aux_tables(ld: int):
-    ooff = jnp.asarray(grid_offsets(6), jnp.int32)
-    return jnp.pad(ooff, (0, 16 - ooff.shape[0]))
-
-
 def _ft_from_state(pg, nid, ld: int):
     """Per-step float-table rebuild: segment COM/G-mass over stale cells."""
     k_terminal = 8**ld
@@ -143,10 +139,12 @@ def _ft_from_state(pg, nid, ld: int):
 
 
 @functools.partial(jax.jit, static_argnames=("n", "group_size"))
-def _resort(pos_f, vel_f, gm_f, orig_f, n: int, group_size: int):
+def _resort(pos_f, vel_f, acc_f, gm_f, orig_f, n: int, group_size: int):
     """Full resort from flattened (M,)-shaped candidate arrays (pads carry
     gm = 0 and orig = n) into a fresh GroupState.  Used both for the
-    initial build (M = N) and periodic resorts (M = G*B)."""
+    initial build (M = N) and periodic resorts (M = G*B).  acc rides the
+    same permutation: a resort is a pure relabeling, so the KDK carry
+    stays valid and no extra force evaluation is needed afterwards."""
     from nbody_tpu.ops.barneshut import group_bodies
 
     b, ld, sl, g_cap = _layout(n, group_size)
@@ -163,6 +161,7 @@ def _resort(pos_f, vel_f, gm_f, orig_f, n: int, group_size: int):
     keys_s = keys[order]
     pos_s = pos_f[order]
     vel_s = vel_f[order]
+    acc_s = acc_f[order]
     gm_s = gm_f[order]
     orig_s = orig_f[order]
     # real bodies occupy [0, n) exactly: pads all carry the sentinel key
@@ -192,6 +191,7 @@ def _resort(pos_f, vel_f, gm_f, orig_f, n: int, group_size: int):
         axis=1,
     )
     vel_g = jnp.transpose(vel_s[group_idx].astype(jnp.float32), (0, 2, 1))
+    acc_g = jnp.transpose(acc_s[group_idx].astype(jnp.float32), (0, 2, 1))
     orig_g = jnp.where(group_valid, orig_s[group_idx], n).astype(jnp.int32)
     nid_g = jnp.where(
         group_valid,
@@ -237,7 +237,7 @@ def _resort(pos_f, vel_f, gm_f, orig_f, n: int, group_size: int):
         it=it,
         bsq=bsq,
         border=border,
-        acc=jnp.zeros_like(vel_g),
+        acc=acc_g,
     )
 
 
@@ -254,7 +254,8 @@ def init_state(
     gm = (jnp.asarray(G, jnp.float32) * mass).astype(jnp.float32)
     orig = jnp.arange(n, dtype=jnp.int32)
     return _resort(
-        pos.astype(jnp.float32), vel.astype(jnp.float32), gm, orig,
+        pos.astype(jnp.float32), vel.astype(jnp.float32),
+        jnp.zeros((n, 3), jnp.float32), gm, orig,
         n=n, group_size=group_size,
     )
 
@@ -267,6 +268,7 @@ def resort(state: GroupState, n: int, group_size: int) -> GroupState:
     return _resort(
         jnp.transpose(state.pg[:, :3, :], (0, 2, 1)).reshape(m, 3),
         jnp.transpose(state.vel, (0, 2, 1)).reshape(m, 3),
+        jnp.transpose(state.acc, (0, 2, 1)).reshape(m, 3),
         jnp.where(state.valid, state.pg[:, 3, :], 0.0).reshape(m),
         state.orig.reshape(m),
         n=n, group_size=group_size,
@@ -290,7 +292,7 @@ def state_forces(
     ps = jnp.transpose(state.pg, (1, 0, 2)).reshape(4, g * b)
     acc_g, _stats = fused_group_forces(
         state.gcount, state.pg, ft, state.it, ps, state.bsq,
-        _aux_tables(ld),
+        aux_octet_offsets(),
         theta=theta, eps2=softening_sq, leaf_cap=leaf_cap, ld=ld,
         burst_rows=burst_rows, interpret=interpret,
     )
@@ -447,8 +449,8 @@ def simulate_persistent(
             p_c, v_c = emit(state, n)
             checkpoint_fn(Bodies(p_c, v_c, mass), done)
         if done < n_steps:
+            # pure relabeling: acc rides the permutation, no re-prime
             state = resort(state, n, group_size)
-            state = prime(state, **fkw)
     p_out, v_out = emit(state, n)
     np.asarray(p_out[:1])  # device fence (see integrate/leapfrog.simulate)
     return p_out, v_out

@@ -59,6 +59,7 @@ from nbody_tpu.ops.barneshut import CapacityError
 from nbody_tpu.ops.bh_fused import (
     auto_ld,
     auto_split_level,
+    aux_octet_offsets,
     fused_group_forces,
     pack_tables,
 )
@@ -241,14 +242,22 @@ def fused_shard_force_fn(
 
         lev = jnp.arange(16, dtype=jnp.float32)
         bsq = (border.astype(jnp.float32) / jnp.exp2(lev)) ** 2
-        ooff = jnp.asarray(grid_offsets(6), jnp.int32)
-        ooff = jnp.pad(ooff, (0, 16 - ooff.shape[0]))
+        ooff = aux_octet_offsets()
 
         acc_g, kstats = fused_group_forces(
             gcount, pg, ft, it, ps, bsq, ooff,
             theta=theta, eps2=softening_sq, leaf_cap=leaf_cap, ld=ld,
             burst_rows=burst_rows, interpret=interpret,
         )
+
+        # Capacity contract: a mid-run bucket overflow (bodies drifted
+        # across Morton ranges past CB) must never be silent — the
+        # truncating dynamic_slice above would otherwise quietly drop
+        # sources.  Raising is impossible inside jit, so poison the
+        # output instead: NaN forces surface immediately in positions,
+        # energy and --debug-nans.  check_sharded_fused remains the
+        # fail-fast probe at startup.
+        acc_g = jnp.where(bucket_overflow > 0, jnp.float32(jnp.nan), acc_g)
 
         # 7. route accelerations back to the original sharding -----------
         dest = jnp.where(group_valid, group_idx, C_own)

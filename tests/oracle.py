@@ -26,6 +26,16 @@ def accel_exhaustive(pos: np.ndarray, mass: np.ndarray, G: float = BIG_G) -> np.
     return np.einsum("ij,ijk->ik", w, d)
 
 
+def accel_exhaustive_f64(pos, mass, G: float = BIG_G) -> np.ndarray:
+    """accel_exhaustive with inputs promoted to float64 — the common
+    parity oracle for f32 device paths (shared by the fused/persistent/
+    sharded kernel tests; one definition so the softening/G conventions
+    cannot drift between files)."""
+    return accel_exhaustive(
+        np.asarray(pos, np.float64), np.asarray(mass, np.float64), G=G
+    )
+
+
 def propagate(
     pos: np.ndarray,
     vel: np.ndarray,

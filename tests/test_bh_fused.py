@@ -6,6 +6,8 @@ small: interpreter-mode while-loops execute pop-by-pop.
 """
 
 import numpy as np
+
+from tests.oracle import accel_exhaustive_f64
 import jax.numpy as jnp
 import pytest
 
@@ -16,12 +18,8 @@ G = 1.0
 
 
 def _direct(pos, mass):
-    p = np.asarray(pos, np.float64)
-    m = np.asarray(mass, np.float64)
-    d = p[None, :, :] - p[:, None, :]
-    r2 = (d * d).sum(-1) + EPS2
-    w = G * m[None, :] * r2**-1.5
-    return np.einsum("ij,ijk->ik", w, d)
+    # EPS2/G here match tests.oracle's module constants (0.01 / 1.0)
+    return accel_exhaustive_f64(pos, mass, G=G)
 
 
 def _run(pos, mass, **kw):

@@ -7,6 +7,8 @@ executes pop-by-pop in interpret mode).
 import jax.numpy as jnp
 import numpy as np
 
+from tests.oracle import accel_exhaustive_f64
+
 from nbody_tpu.ops.bh_persistent import (
     _layout,
     emit,
@@ -31,12 +33,8 @@ def _cloud(n, seed=0):
 
 
 def _direct(pos, mass):
-    p = np.asarray(pos, np.float64)
-    m = np.asarray(mass, np.float64)
-    d = p[None, :, :] - p[:, None, :]
-    r2 = (d * d).sum(-1) + EPS2
-    w = G * m[None, :] * r2**-1.5
-    return np.einsum("ij,ijk->ik", w, d)
+    # EPS2/G here match tests.oracle's module constants (0.01 / 1.0)
+    return accel_exhaustive_f64(pos, mass, G=G)
 
 
 def _fkw(n, group_size=128):

@@ -23,11 +23,7 @@ import numpy as np  # noqa: E402
 
 def timed(fn, *args, reps=3, warmup=1):
     """Best-of-reps wall time of fn(*args) with a D2H fence."""
-    import jax
-
-    def fence(out):
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        np.asarray(leaf.ravel()[:1])
+    from nbody_tpu.diag.timing import fence
 
     for _ in range(warmup):
         fence(fn(*args))
