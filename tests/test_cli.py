@@ -154,3 +154,25 @@ def test_cli_persistent_resort(tmp_path, capsys):
     rows_f, _ = read_trajectory(out_f)
     assert n == 100 and rows_p.shape == rows_f.shape == (4 * 100, 5)
     np.testing.assert_allclose(rows_p, rows_f, atol=2e-4, rtol=0)
+
+
+def test_cli_timers_fused_off_tpu(tmp_path, capsys):
+    """--timers with the fused traversal must work off-TPU (regression:
+    the phase timer once missed the interpret flag and crashed in the
+    pallas_call before the run started)."""
+    out = tmp_path / "t.csv"
+    rc = main(
+        [
+            os.path.join(DATA_DIR, "100_bodies_g1.csv"),
+            "0", "0.1", "0.1",
+            str(out),
+            "--algo", "barnes-hut",
+            "--bh-traversal", "fused",
+            "--bh-group-size", "128",
+            "--timers",
+        ]
+    )
+    assert rc == 0
+    captured = capsys.readouterr().out
+    assert "Per-phase force-eval breakdown" in captured
+    assert "kernel" in captured
