@@ -391,6 +391,7 @@ def simulate_persistent(
     group_size: int = 1024,
     leaf_cap: int = 64,
     resort_every: int = 8,
+    max_drift_frac: float = 0.25,
     interpret: bool = False,
     frame_writer=None,
     checkpoint_every: int = 0,
@@ -402,7 +403,16 @@ def simulate_persistent(
     initial frame then one (T, N, 3) original-order chunk per scan chunk
     (frames are routed through state.orig on the host — the device never
     pays the per-step scatter); `checkpoint_fn(Bodies, step)` fires every
-    `checkpoint_every` steps."""
+    `checkpoint_every` steps.
+
+    Drift guard: the stale-partition approximation assumes bodies move a
+    small fraction of a terminal cell between resorts.  Before each
+    chunk the loop reads v_max and, if a full `resort_every`-step chunk
+    would move the fastest body more than `max_drift_frac` of the
+    terminal cell size, falls back to single-step chunks (resort every
+    step — the reference's own rebuild-per-step behavior) until the
+    system calms down.  Only two scan lengths ever compile.  Set
+    max_drift_frac=0 to disable."""
     import numpy as np
 
     n = pos.shape[0]
@@ -428,6 +438,11 @@ def simulate_persistent(
     done = 0
     while done < n_steps:
         t = min(resort_every, n_steps - done)
+        if max_drift_frac > 0 and t > 1 and dt != 0:
+            v_max = float(jnp.max(jnp.abs(state.vel)))
+            cell = float(state.border) / (1 << ld)
+            if v_max * abs(dt) * t > max_drift_frac * cell:
+                t = 1
         if checkpoint_every > 0:
             next_ckpt = ((done // checkpoint_every) + 1) * checkpoint_every
             t = min(t, next_ckpt - done)

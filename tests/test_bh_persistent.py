@@ -135,3 +135,22 @@ def test_persistent_long_run_energy_drift():
     ke1, pe1 = get_energy(p1, v1, mass, G=G)
     drift = energy_drift(float(ke1 + pe1), float(ke0 + pe0))
     assert abs(drift) < 1e-3, drift
+
+
+def test_drift_guard_forces_per_step_resort():
+    """Hot systems (drift per chunk > max_drift_frac of a terminal cell)
+    must fall back to per-step resorts: with velocities that large, the
+    resort_every=8 run degenerates to exactly the resort_every=1
+    execution — bitwise."""
+    n = 300
+    pos, vel, mass = _cloud(n, seed=31)
+    vel = vel * 100.0  # guaranteed to trip the guard at dt=1e-3
+    a = simulate_persistent(
+        pos, vel, mass, 4, 1e-3, group_size=128, resort_every=4,
+        interpret=True,
+    )
+    b = simulate_persistent(
+        pos, vel, mass, 4, 1e-3, group_size=128, resort_every=1,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
