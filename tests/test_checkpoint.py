@@ -117,3 +117,37 @@ def test_checkpoint_rotation(tmp_path):
     _, meta2 = load_checkpoint(f"{p}.2")
     assert meta2["step"] == 20
     assert not os.path.exists(f"{p}.3")  # keep=3: oldest dropped
+
+
+def test_persistent_checkpoint_roundtrip(tmp_path):
+    """--resort-every combined with --checkpoint-every: the checkpoint is
+    emitted from the group-layout state through the stored permutation
+    and must be a loadable, resumable (pos, vel, mass) snapshot."""
+    import os
+
+    import numpy as np
+
+    from conftest import DATA_DIR
+    from nbody_tpu.cli.main import main
+    from nbody_tpu.io.checkpoint import load_checkpoint
+
+    out = tmp_path / "o.csv"
+    ck = tmp_path / "c.csv"
+    rc = main(
+        [
+            os.path.join(DATA_DIR, "100_bodies_g1.csv"),
+            "0", "0.4", "0.1",
+            str(out),
+            "--algo", "barnes-hut",
+            "--bh-traversal", "fused",
+            "--bh-group-size", "64",
+            "--resort-every", "2",
+            "--checkpoint-every", "2",
+            "--checkpoint", str(ck),
+        ]
+    )
+    assert rc == 0
+    arr, meta = load_checkpoint(str(ck))
+    assert arr.shape == (100, 7)
+    assert int(meta["step"]) == 4
+    assert np.isfinite(arr).all()

@@ -24,3 +24,26 @@ def test_cli_shard_matches_unsharded(tmp_path):
     assert n_a == n_b == 100
     assert rows_a.shape == rows_b.shape  # padding dropped from output
     np.testing.assert_allclose(rows_b, rows_a, atol=2e-6, rtol=0)
+
+
+def test_cli_shard_fused_traversal(tmp_path):
+    """--shard with the Morton-range-sharded fused pipeline
+    (parallel/bh_shard.py) through the CLI, vs the unsharded fused run."""
+    a = tmp_path / "a.csv"
+    b = tmp_path / "b.csv"
+    args = [
+        os.path.join(DATA_DIR, "100_bodies_g1.csv"),
+        "0", "0.3", "0.1",
+        "--algo", "barnes-hut",
+        "--bh-traversal", "fused",
+        "--bh-group-size", "64",
+    ]
+    assert main(args[:4] + [str(a)] + args[4:]) == 0
+    assert main(args[:4] + [str(b)] + args[4:] + ["--shard"]) == 0
+    rows_a, n_a = read_trajectory(a)
+    rows_b, n_b = read_trajectory(b)
+    assert n_a == n_b == 100
+    assert rows_a.shape == rows_b.shape
+    # same theta approximation, different partitioning: group AABBs gate
+    # the MAC differently, so trajectories agree to MAC-level tolerance
+    np.testing.assert_allclose(rows_b, rows_a, atol=5e-4, rtol=0)
