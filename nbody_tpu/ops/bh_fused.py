@@ -13,7 +13,7 @@ tools/mb_kernel.py:
 
   * the octree is the DENSE grid of nbody_tpu.ops.bh_grid packed into two
     VMEM-resident tables addressed by octet (8 siblings): a float table
-    [cx8|cy8|cz8|gm8] (4 octets/row) and an int table [start8|count8]
+    [cx8|cy8|cz8|gm8] (4 octets/row) and an int table [start8|span8]
     (8 octets/row) — children of cell c are ALWAYS octet c of the next
     level, so the traversal stack holds bare (level, octet) ints in SMEM;
   * classification is 8-wide VPU work on one dynamically-rolled row; ONE
@@ -29,8 +29,10 @@ tools/mb_kernel.py:
     planar windows via async DMA;
   * every 128 staged sources become one row of a (RB, 4, 128) source
     buffer; full buffers evaluate against the group's (B, 4) body block
-    with the same (B,1)x(1,128) softened kernel as the exhaustive path,
-    so a body's own near-field entry contributes exactly zero force
+    as (B, 128) softened pair grids accumulated into (B, 128) lane
+    accumulators (one cross-lane reduction per kernel, not per row —
+    the per-row reductions were the measured eval bottleneck).  A
+    body's own near-field entry contributes exactly zero force
     (dx = 0), preserving the reference's self-exclusion
     (serial/barnes-hut.c:411).
 
