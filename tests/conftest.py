@@ -61,3 +61,17 @@ def random_cloud(n: int, seed: int = 0) -> np.ndarray:
     vel = rng.uniform(-1.0, 1.0, size=(n, 3))
     mass = rng.uniform(0.04, 1.0, size=(n,))
     return np.concatenate([pos, vel, mass[:, None]], axis=1)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound in-process XLA state: with several hundred live compiled
+    executables the CPU backend segfaults nondeterministically in pjit
+    execution (reproduced on the 8k-body flat-traversal graph at ~95%
+    suite progress; the same test is green standalone).  Dropping the
+    in-memory caches after each module keeps the live-executable count
+    small; the persistent disk cache makes any re-compiles cheap."""
+    yield
+    import jax
+
+    jax.clear_caches()
