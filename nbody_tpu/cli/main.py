@@ -553,7 +553,9 @@ def main(argv=None) -> int:
     if args.resort_every > 0 and not persistent:
         print(
             "warning: --resort-every requires the unsharded fused "
-            "Barnes-Hut path with the KDK integrator; ignoring",
+            "Barnes-Hut path with the KDK integrator; ignoring "
+            "(multi-chip persistent order is available as the library "
+            "API parallel.bh_shard.simulate_persistent_sharded)",
             file=sys.stderr,
         )
 
