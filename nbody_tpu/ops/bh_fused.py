@@ -420,7 +420,11 @@ def _fused_kernel(
 
             sp2 = lax.fori_loop(0, 8, push_k, sp2)
 
-        @pl.when(sp2 > STACK_CAP)
+        # >= not >: push_k's unconditional store clamps to slot
+        # STACK_CAP-1, so the first store made AT sp2 == STACK_CAP (even a
+        # non-hit one) already clobbers the last valid entry — equality is
+        # corruption, not fullness.
+        @pl.when(sp2 >= STACK_CAP)
         def _():
             st[OVF] = 1
 

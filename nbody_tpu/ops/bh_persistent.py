@@ -97,6 +97,13 @@ def _layout(n: int, group_size: int):
     # exact static bound: every split-level cell adds at most one partial
     # chunk (group_bodies' own capacity) — no compaction, no trim risk
     g_cap = n // b + min(8**sl, n) + 1
+    # Round the group count so the flattened slot count g_cap*b is a
+    # multiple of 128: state_forces hands the kernel a planar (4, g_cap*b)
+    # source array whose near-field streamer DMAs 128-aligned 128-wide
+    # windows — a partial final window would read (on TPU: DMA) out of
+    # bounds.  Extra groups are inert (gcount 0, gm 0).
+    mult = 128 // math.gcd(b, 128)
+    g_cap = -(-g_cap // mult) * mult
     return b, ld, sl, g_cap
 
 
@@ -166,8 +173,12 @@ def _resort(pos_f, vel_f, acc_f, gm_f, orig_f, n: int, group_size: int):
     orig_s = orig_f[order]
     # real bodies occupy [0, n) exactly: pads all carry the sentinel key
 
+    # groups_multiple keeps group_bodies' static capacity >= the rounded
+    # g_cap (its own bound is computed from m_in, which can be < g_cap
+    # after the 128-slot rounding only through the rounding itself)
     gstart, gcount, group_idx, group_valid = group_bodies(
-        keys_s, m_in, _DEPTH, b, sl
+        keys_s, m_in, _DEPTH, b, sl,
+        groups_multiple=128 // math.gcd(b, 128),
     )
     gcount = jnp.minimum(gcount, jnp.clip(n - gstart, 0))
     slots = jnp.arange(b, dtype=jnp.int32)[None, :]

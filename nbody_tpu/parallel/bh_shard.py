@@ -251,13 +251,15 @@ def fused_shard_force_fn(
         )
 
         # Capacity contract: a mid-run bucket overflow (bodies drifted
-        # across Morton ranges past CB) must never be silent — the
-        # truncating dynamic_slice above would otherwise quietly drop
-        # sources.  Raising is impossible inside jit, so poison the
-        # output instead: NaN forces surface immediately in positions,
-        # energy and --debug-nans.  check_sharded_fused remains the
-        # fail-fast probe at startup.
-        acc_g = jnp.where(bucket_overflow > 0, jnp.float32(jnp.nan), acc_g)
+        # across Morton ranges past CB) or a trimmed occupied group (drift
+        # concentrated groups past `keep`, whose bodies would silently get
+        # zero acceleration) must never be silent.  Raising is impossible
+        # inside jit, so poison the output instead: NaN forces surface
+        # immediately in positions, energy and --debug-nans.
+        # check_sharded_fused remains the fail-fast probe at startup.
+        acc_g = jnp.where(
+            (bucket_overflow > 0) | (trimmed > 0), jnp.float32(jnp.nan), acc_g
+        )
 
         # 7. route accelerations back to the original sharding -----------
         dest = jnp.where(group_valid, group_idx, C_own)
@@ -351,6 +353,13 @@ def _shard_layout(n: int, n_dev: int, group_size: int, bucket_frac: float):
     keep_l = min(
         C_own // b + min(8**sl, C_own) + 1, 2 * (C_own // b) + 64
     )
+    # keep_l * b must be a 128 multiple: local_force hands the kernel the
+    # all_gathered (4, P * keep_l * b) planar slot array, and the
+    # near-field streamer DMAs 128-aligned 128-wide windows from it — a
+    # partial final window per chip segment would be out of bounds on
+    # TPU.  Extra groups are inert (gcount 0, gm 0).
+    mult = 128 // math.gcd(b, 128)
+    keep_l = -(-keep_l // mult) * mult
     return C, b, ld, sl, CB, C_own, keep_l
 
 
@@ -458,8 +467,12 @@ def persistent_shard_fns(
         myf = recv_f.reshape(C_own, 10)[mo]
         Rk = jnp.sum((myk < _SENT_KEY).astype(jnp.int32))
 
+        # groups_multiple keeps group_bodies' capacity >= the 128-slot
+        # rounded keep_l (see _shard_layout) so compact_groups never
+        # shrinks the static group count below it
         gstart, gcount, group_idx, group_valid = group_bodies(
-            myk, C_own, _DEPTH, b, sl
+            myk, C_own, _DEPTH, b, sl,
+            groups_multiple=128 // math.gcd(b, 128),
         )
         gcount = jnp.minimum(gcount, jnp.clip(Rk - gstart, 0))
         slots2 = jnp.arange(b, dtype=jnp.int32)[None, :]

@@ -155,6 +155,9 @@ def test_sharded_persistent_matches_reference(mesh):
         Bodies(pos, vel, mass), 4, 1e-3, direct_accelerations
     )
     dp = np.abs(np.asarray(p_s)[:n] - np.asarray(ref.pos)).max()
-    assert dp < 5e-4, dp
+    assert dp < 5e-5, dp
     dv = np.abs(np.asarray(v_s)[:n] - np.asarray(ref.vel)).max()
-    assert np.isfinite(dv) and dv < 5e-1
+    # theta-level force error integrated over 4 steps: ~1e-3-scale like
+    # the position bound (measured 4.5e-4; the old 5e-1 proved only
+    # finiteness)
+    assert np.isfinite(dv) and dv < 2e-3
