@@ -30,9 +30,16 @@ def save_checkpoint(
 ) -> None:
     path = os.fspath(path)
     arr = bodies.to_numpy()
-    with open(path, "w") as f:
-        for row in arr:
-            f.write(",".join(repr(float(v)) for v in row) + "\n")
+    # Native writer first: at 10M bodies the Python fallback is ~70M
+    # per-float repr() calls (minutes); fastcsv_write7 streams the same
+    # exact-round-trip rows in seconds.
+    from nbody_tpu.native.loader import get as _native
+
+    lib = _native()
+    if lib is None or not lib.write7(path, arr):
+        with open(path, "w") as f:
+            for row in arr:
+                f.write(",".join(repr(float(v)) for v in row) + "\n")
     meta = {"n_bodies": int(arr.shape[0])}
     if step is not None:
         meta["step"] = int(step)

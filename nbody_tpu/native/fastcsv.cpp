@@ -18,6 +18,7 @@
 
 #include <cctype>
 #include <cerrno>
+#include <charconv>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -119,6 +120,38 @@ int fastcsv_write_frames(const char *path, const double *pos,
     }
   }
   std::fclose(f);
+  return 0;
+}
+
+// Write `n` rows of 7 comma-separated doubles (the runnable-input
+// checkpoint format: x, y, z, vx, vy, vz, mass) to `path`, truncating.
+// std::to_chars emits the SHORTEST representation that round-trips the
+// double exactly (strtod reads it back bit-for-bit) — and its Ryu-style
+// conversion is ~10x faster than snprintf's %.17g exact-decimal path,
+// which matters on the single host core behind a 10M-body run.
+// Returns 0 on success.
+int fastcsv_write7(const char *path, const double *data, long n) {
+  FILE *f = std::fopen(path, "wb");
+  if (!f) return -1;
+  std::vector<char> iobuf(4 << 20);
+  std::setvbuf(f, iobuf.data(), _IOFBF, iobuf.size());
+  char line[512];
+  for (long i = 0; i < n; i++) {
+    const double *r = data + i * 7;
+    char *p = line;
+    for (int col = 0; col < 7; col++) {
+      auto res = std::to_chars(p, line + sizeof(line) - 2, r[col]);
+      if (res.ec != std::errc()) { std::fclose(f); return -1; }
+      p = res.ptr;
+      *p++ = (col < 6) ? ',' : '\n';
+    }
+    size_t len = static_cast<size_t>(p - line);
+    if (std::fwrite(line, 1, len, f) != len) {
+      std::fclose(f);
+      return -1;
+    }
+  }
+  if (std::fclose(f) != 0) return -1;
   return 0;
 }
 

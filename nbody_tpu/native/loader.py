@@ -44,6 +44,12 @@ class FastCsv:
             ctypes.c_long,
             ctypes.c_long,
         ]
+        lib.fastcsv_write7.restype = ctypes.c_int
+        lib.fastcsv_write7.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_long,
+        ]
 
     def read_csv7(self, path: str) -> np.ndarray | None:
         """Returns the (N, 7) float64 array, or raises ValueError if the
@@ -66,6 +72,18 @@ class FastCsv:
         if got < 0:
             return None
         return out[:got]
+
+    def write7(self, path: str, data: np.ndarray) -> bool:
+        """Write an (N, 7) float64 array as a checkpoint CSV (exact
+        %.17g round-trip); returns False on failure (caller falls back
+        to Python formatting)."""
+        data = np.ascontiguousarray(data, dtype=np.float64)
+        rc = self._lib.fastcsv_write7(
+            path.encode(),
+            data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            data.shape[0],
+        )
+        return rc == 0
 
     def write_frames(self, path: str, pos: np.ndarray, mass: np.ndarray) -> bool:
         """Append (T, N, 3) frames; returns False on failure (caller falls

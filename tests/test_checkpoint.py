@@ -19,6 +19,27 @@ def test_checkpoint_roundtrip(tmp_path):
     assert meta["step"] == 42 and meta["time"] == 4.2
 
 
+def test_checkpoint_roundtrip_native(tmp_path):
+    """The native fastcsv_write7 path must round-trip bit-for-bit (it is
+    the production writer; the pure-Python repr() path is the fallback)."""
+    from nbody_tpu.native.loader import get as native_get
+
+    lib = native_get()
+    assert lib is not None, "native fastcsv unavailable (g++ missing?)"
+    arr = random_cloud(64, seed=52)
+    # adversarial values for shortest-round-trip formatting
+    arr[0, 0] = 0.1 + 0.2
+    arr[1, 1] = 1e-300
+    arr[2, 2] = -1.7976931348623157e308
+    arr[3, 3] = 5e-324  # min subnormal
+    arr[4, 4] = 0.0
+    arr[5, 5] = -0.0
+    p = str(tmp_path / "native.ckpt.csv")
+    assert lib.write7(p, arr)
+    arr2, _ = load_checkpoint(p)
+    assert (arr2 == arr).all() or np.array_equal(arr2, arr)
+
+
 def test_checkpoint_is_valid_input(tmp_path):
     """A checkpoint must be directly runnable as a simulation input (the
     whole point: strict superset of the reference, which cannot restart)."""
