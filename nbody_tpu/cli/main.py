@@ -141,6 +141,15 @@ def build_parser() -> argparse.ArgumentParser:
         "ops/bh_persistent.py for the stale-partition contract; 0 = off)",
     )
     p.add_argument(
+        "--progress",
+        type=int,
+        default=0,
+        metavar="K",
+        help="print a heartbeat (step, s/step, ETA) every K steps — the "
+        "analog of the reference's PRINT_LOOP per-step counter "
+        "(cuda/barnes-hut.cu:9,1037-1039); 0 = off",
+    )
+    p.add_argument(
         "--no-capacity-check",
         action="store_true",
         help="skip the Barnes-Hut startup capacity probe (the probe costs "
@@ -547,21 +556,68 @@ def main(argv=None) -> int:
         args.resort_every > 0
         and algo == "barnes-hut"
         and backend.endswith("/fused")
-        and not args.shard
         and args.integrator == "leapfrog"
     )
     if args.resort_every > 0 and not persistent:
         print(
-            "warning: --resort-every requires the unsharded fused "
-            "Barnes-Hut path with the KDK integrator; ignoring "
-            "(multi-chip persistent order is available as the library "
-            "API parallel.bh_shard.simulate_persistent_sharded)",
+            "warning: --resort-every requires the fused Barnes-Hut "
+            "path with the KDK integrator; ignoring",
             file=sys.stderr,
         )
 
+    progress_fn = None
+    if args.progress > 0:
+        t_hb = {"last": time.perf_counter(), "done": 0}
+
+        def progress_fn(done, note=""):
+            now = time.perf_counter()
+            dsteps = done - t_hb["done"]
+            sps = (now - t_hb["last"]) / max(1, dsteps)
+            eta = sps * (n_steps - done)
+            t_hb["last"], t_hb["done"] = now, done
+            extra = f"  [{note}]" if note else ""
+            print(
+                f"progress: step {done}/{n_steps} "
+                f"({100.0 * done / max(1, n_steps):.1f}%), "
+                f"{sps:.3g} s/step, ETA {eta:.0f} s{extra}",
+                file=sys.stderr,
+                flush=True,
+            )
+
     t_wall0 = time.perf_counter()
     with profiler_trace(args.trace):
-        if persistent:
+        if persistent and args.shard:
+            from nbody_tpu.core.types import Bodies as _Bodies
+            from nbody_tpu.ops.barneshut import CapacityError
+            from nbody_tpu.parallel.bh_shard import (
+                simulate_persistent_sharded,
+            )
+
+            bh_kw = _bh_kwargs(args)
+            try:
+                p_out, v_out = simulate_persistent_sharded(
+                    bodies, n_steps, dt,
+                    n_real=n_real,
+                    G=args.G, softening_sq=args.softening2,
+                    theta=args.theta,
+                    resort_every=args.resort_every,
+                    frame_writer=writer,
+                    checkpoint_every=args.checkpoint_every,
+                    checkpoint_fn=checkpoint_fn,
+                    progress_every=args.progress,
+                    progress_fn=progress_fn,
+                    **{k: v for k, v in bh_kw.items()
+                       if k in ("group_size", "leaf_cap")},
+                )
+            except CapacityError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 3
+            bodies = _Bodies(
+                p_out.astype(bodies.pos.dtype),
+                v_out.astype(bodies.vel.dtype),
+                bodies.mass,
+            )
+        elif persistent:
             import jax as _jax
 
             from nbody_tpu.core.types import Bodies as _Bodies
@@ -576,6 +632,8 @@ def main(argv=None) -> int:
                 frame_writer=writer,
                 checkpoint_every=args.checkpoint_every,
                 checkpoint_fn=checkpoint_fn,
+                progress_every=args.progress,
+                progress_fn=progress_fn,
                 **{k: v for k, v in bh_kw.items()
                    if k in ("group_size", "leaf_cap")},
             )
@@ -591,6 +649,8 @@ def main(argv=None) -> int:
                 checkpoint_every=args.checkpoint_every,
                 checkpoint_fn=checkpoint_fn,
                 integrator=args.integrator,
+                progress_every=args.progress,
+                progress_fn=progress_fn,
             )
     elapsed = time.perf_counter() - t_wall0
     if ckpt_mgr is not None:

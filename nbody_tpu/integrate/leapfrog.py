@@ -121,6 +121,8 @@ def simulate(
     checkpoint_every: int = 0,
     checkpoint_fn: Optional[Callable[[Bodies, int], None]] = None,
     integrator: str = "leapfrog",
+    progress_every: int = 0,
+    progress_fn: Optional[Callable[[int], None]] = None,
 ) -> Bodies:
     """Run a full simulation, optionally streaming trajectory frames.
 
@@ -129,18 +131,26 @@ def simulate(
     serial/exhaustive.c:208-216) and then one (T, N, 3) chunk of post-drift
     positions per scan chunk.  `checkpoint_fn(bodies, step)` fires every
     `checkpoint_every` steps (chunk boundaries are split to land exactly).
+    `progress_fn(done)` fires every `progress_every` steps, after a device
+    fence, so callers can report wall-clock heartbeats (the PRINT_LOOP
+    analog, cuda/barnes-hut.cu:1037-1039).
     """
     if frame_writer is not None:
         frame_writer(np.asarray(bodies.pos)[None])
 
     acc = None
     done = 0
-    chunked = frame_writer is not None or checkpoint_every > 0
+    chunked = (
+        frame_writer is not None or checkpoint_every > 0 or progress_every > 0
+    )
     while done < n_steps:
         t = min(chunk_steps, n_steps - done) if chunked else n_steps - done
         if checkpoint_every > 0:
             next_ckpt = ((done // checkpoint_every) + 1) * checkpoint_every
             t = min(t, next_ckpt - done)
+        if progress_every > 0:
+            next_prog = ((done // progress_every) + 1) * progress_every
+            t = min(t, next_prog - done)
         if frame_writer is not None:
             bodies, acc, hist = leapfrog_steps(
                 bodies, t, dt, force_fn, acc0=acc, with_history=True,
@@ -158,6 +168,13 @@ def simulate(
             and done % checkpoint_every == 0
         ):
             checkpoint_fn(bodies, done)
+        if (
+            progress_every > 0
+            and progress_fn is not None
+            and done % progress_every == 0
+        ):
+            np.asarray(bodies.pos[:1])  # fence so the heartbeat wall time is real
+            progress_fn(done)
     # Device fence via a tiny D2H copy: block_until_ready is not a reliable
     # fence on every PJRT plugin (the axon tunnel returns immediately), and
     # callers time around this function.

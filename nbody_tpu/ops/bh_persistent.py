@@ -407,6 +407,8 @@ def simulate_persistent(
     frame_writer=None,
     checkpoint_every: int = 0,
     checkpoint_fn=None,
+    progress_every: int = 0,
+    progress_fn=None,
 ):
     """Run n_steps with periodic resorts; returns (pos, vel) in original
     order.  The chunked python loop mirrors integrate/leapfrog.simulate;
@@ -449,14 +451,19 @@ def simulate_persistent(
     done = 0
     while done < n_steps:
         t = min(resort_every, n_steps - done)
+        guarded = False
         if max_drift_frac > 0 and t > 1 and dt != 0:
             v_max = float(jnp.max(jnp.abs(state.vel)))
             cell = float(state.border) / (1 << ld)
             if v_max * abs(dt) * t > max_drift_frac * cell:
                 t = 1
+                guarded = True
         if checkpoint_every > 0:
             next_ckpt = ((done // checkpoint_every) + 1) * checkpoint_every
             t = min(t, next_ckpt - done)
+        if progress_every > 0:
+            next_prog = ((done // progress_every) + 1) * progress_every
+            t = min(t, next_prog - done)
         if frame_writer is not None:
             state, hist = kdk_steps(
                 state, t, dt, with_history=True, **fkw
@@ -474,6 +481,13 @@ def simulate_persistent(
 
             p_c, v_c = emit(state, n)
             checkpoint_fn(Bodies(p_c, v_c, mass), done)
+        if (
+            progress_every > 0
+            and progress_fn is not None
+            and done % progress_every == 0
+        ):
+            np.asarray(state.pg[:1, :1, :1])  # fence (real wall time)
+            progress_fn(done, "drift-guard: per-step resorts" if guarded else "")
         if done < n_steps:
             # pure relabeling: acc rides the permutation, no re-prime
             state = resort(state, n, group_size)

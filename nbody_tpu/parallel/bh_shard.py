@@ -368,6 +368,7 @@ def persistent_shard_fns(
     axis_name: str = BODY_AXIS,
     *,
     n: int,
+    n_real: int | None = None,
     G: float = constants.BIG_G,
     softening_sq: float = constants.SOFTENING_SQ,
     theta: float = constants.THETA,
@@ -375,13 +376,33 @@ def persistent_shard_fns(
     leaf_cap: int = 64,
     samples_per_chip: int = 32,
     bucket_frac: float = 2.5,
+    migrant_frac: float = 0.125,
     interpret: bool | None = None,
 ):
     """Build (init_fn, resort_fn, prime_fn, steps_fn, emit_fn) for the
     sharded persistent integrator.  State is a dict pytree: per-chip
-    group-layout leaves sharded on axis 0, tree tables replicated."""
+    group-layout leaves sharded on axis 0, tree tables replicated.
+
+    Bodies with original index >= n_real (the CLI's inert zero-mass shard
+    padding) are dropped at init: a pad clump shares one Morton key,
+    which no sample-sort splitter can separate.
+
+    Resorts exchange ONLY MIGRANTS: the initial full sample-sort
+    redistribution sizes its buckets for bodies spread across all P key
+    ranges (bucket_frac * C / P each), but at a resort nearly every body
+    lands back in its own chip's range — full redistribution would need
+    O(C)-sized buckets, an O(N) all_to_all per chip.  Instead the
+    splitters and the Morton key space (root border) are FROZEN at init:
+    stay bodies never leave the chip, and only splitter-crossers ride an
+    all_to_all of small (migrant_frac * C) buckets.  When the frozen
+    frame goes stale — a body exits the root cube ('oob'), migrant
+    buckets overflow, or occupied groups trim — the state is flagged and
+    the driver rebalances from scratch (emit -> init -> prime), which
+    re-samples splitters and border."""
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
+    if n_real is None:
+        n_real = n
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     C, b, ld, sl, CB, C_own, keep_l = _shard_layout(
@@ -389,17 +410,98 @@ def persistent_shard_fns(
     )
     k_terminal = 8**ld
     M_l = keep_l * b
+    CB_mig = _round_up(max(128, int(migrant_frac * C)), 128)
 
     from nbody_tpu.ops.barneshut import compact_groups, group_bodies
 
-    def local_resort(pos_f, vel_f, acc_f, gm_f, orig_f):
-        """Per-chip: redistribute (M_in,) candidate slots to contiguous
-        Morton ranges and rebuild the group state.  Pads: orig = n,
-        gm = 0."""
-        m_in = pos_f.shape[0]
+    def _regroup(myk, myo, myf, border, spl, bucket_overflow, oob):
+        """Common tail: (M,) merged sorted candidates -> group state.
+        myk sorted ascending with _SENT_KEY pads at the end; myf (M, 10)
+        rows [x y z gm vx vy vz ax ay az]; pads carry gm = 0, orig = n."""
         k = lax.axis_index(axis_name)
+        m_in = myk.shape[0]
+        Rk = jnp.sum((myk < _SENT_KEY).astype(jnp.int32))
 
-        real_in = orig_f < n
+        # groups_multiple keeps group_bodies' capacity >= the 128-slot
+        # rounded keep_l (see _shard_layout) so compact_groups never
+        # shrinks the static group count below it
+        gstart, gcount, group_idx, group_valid = group_bodies(
+            myk, m_in, _DEPTH, b, sl,
+            groups_multiple=128 // math.gcd(b, 128),
+        )
+        gcount = jnp.minimum(gcount, jnp.clip(Rk - gstart, 0))
+        slots2 = jnp.arange(b, dtype=jnp.int32)[None, :]
+        group_valid = slots2 < gcount[:, None]
+        group_idx = jnp.clip(
+            jnp.where(group_valid, gstart[:, None] + slots2, gstart[:, None]),
+            0,
+            m_in - 1,
+        )
+        gstart, gcount, group_idx, group_valid, trimmed = compact_groups(
+            gstart, gcount, group_idx, group_valid, keep_l
+        )
+        trimmed = lax.psum(trimmed, axis_name)
+
+        rows = myf[group_idx]  # (keep_l, b, 10)
+        gm_slot = jnp.where(group_valid, rows[:, :, 3], 0.0)
+        pg = jnp.concatenate(
+            [jnp.transpose(rows[:, :, :3], (0, 2, 1)), gm_slot[:, None, :]],
+            axis=1,
+        )  # (keep_l, 4, b)
+        vel_g = jnp.transpose(rows[:, :, 4:7], (0, 2, 1))
+        acc_g = jnp.transpose(rows[:, :, 7:10], (0, 2, 1))
+        orig_g = jnp.where(group_valid, myo[group_idx], n).astype(jnp.int32)
+        nid_g = jnp.where(
+            group_valid,
+            (myk[group_idx] >> (3 * (_DEPTH - ld))).astype(jnp.int32),
+            k_terminal,
+        )
+
+        # static cell ranges in GLOBAL slot space (chip k at [k*M_l, ...))
+        gslot = (k * M_l + jnp.arange(M_l, dtype=jnp.int32)).reshape(M_l)
+        nid_f = nid_g.reshape(M_l)
+        inf = jnp.int32(2**31 - 1)
+        stp = jax.ops.segment_min(
+            jnp.where(nid_f < k_terminal, gslot, inf), nid_f,
+            num_segments=k_terminal + 1,
+        )[:k_terminal]
+        enp = jax.ops.segment_max(
+            jnp.where(nid_f < k_terminal, gslot + 1, -1), nid_f,
+            num_segments=k_terminal + 1,
+        )[:k_terminal]
+        cntp = jax.ops.segment_sum(
+            (nid_f < k_terminal).astype(jnp.int32), nid_f,
+            num_segments=k_terminal + 1,
+        )[:k_terminal]
+        st_g = lax.pmin(stp, axis_name)
+        en_g = lax.pmax(enp, axis_name)
+        cnt_g = lax.psum(cntp, axis_name)
+        zero3 = jnp.zeros((k_terminal, 3), jnp.float32)
+        tree = grid_from_terminal(
+            zero3, jnp.zeros((k_terminal,), jnp.float32), cnt_g, st_g, en_g, ld
+        )
+        from nbody_tpu.ops.bh_fused import pack_it
+
+        it = pack_it(tree, ld)
+        lev = jnp.arange(16, dtype=jnp.float32)
+        bsq = (border.astype(jnp.float32) / jnp.exp2(lev)) ** 2
+        return {
+            "pg": pg, "vel": vel_g, "acc": acc_g, "valid": group_valid,
+            "gcount": gcount.astype(jnp.int32), "orig": orig_g, "nid": nid_g,
+            "it": it, "bsq": bsq, "border": border.reshape(()),
+            "spl": spl,
+            "bucket_overflow": jnp.maximum(bucket_overflow, 0).reshape(()),
+            "trimmed": trimmed.reshape(()),
+            "oob": oob.astype(jnp.int32).reshape(()),
+        }
+
+    def full_redistribute(pos_f, vel_f, acc_f, gm_f, orig_f):
+        """Per-chip: full sample-sort redistribution of (M_in,) candidate
+        slots to fresh contiguous Morton ranges (fresh border + splitters).
+        Pads (orig >= n_real at init, orig = n mid-run): gm = 0."""
+        m_in = pos_f.shape[0]
+
+        real_in = orig_f < n_real
         border = 2.0 * lax.pmax(
             jnp.max(jnp.where(real_in[:, None], jnp.abs(pos_f), 0.0)),
             axis_name,
@@ -465,78 +567,104 @@ def persistent_shard_fns(
         myk = rk[mo]
         myo = recv_i[:, :, 1].reshape(C_own)[mo]
         myf = recv_f.reshape(C_own, 10)[mo]
-        Rk = jnp.sum((myk < _SENT_KEY).astype(jnp.int32))
-
-        # groups_multiple keeps group_bodies' capacity >= the 128-slot
-        # rounded keep_l (see _shard_layout) so compact_groups never
-        # shrinks the static group count below it
-        gstart, gcount, group_idx, group_valid = group_bodies(
-            myk, C_own, _DEPTH, b, sl,
-            groups_multiple=128 // math.gcd(b, 128),
-        )
-        gcount = jnp.minimum(gcount, jnp.clip(Rk - gstart, 0))
-        slots2 = jnp.arange(b, dtype=jnp.int32)[None, :]
-        group_valid = slots2 < gcount[:, None]
-        group_idx = jnp.clip(
-            jnp.where(group_valid, gstart[:, None] + slots2, gstart[:, None]),
-            0,
-            C_own - 1,
-        )
-        gstart, gcount, group_idx, group_valid, trimmed = compact_groups(
-            gstart, gcount, group_idx, group_valid, keep_l
-        )
-        trimmed = lax.psum(trimmed, axis_name)
-
-        rows = myf[group_idx]  # (keep_l, b, 10)
-        gm_slot = jnp.where(group_valid, rows[:, :, 3], 0.0)
-        pg = jnp.concatenate(
-            [jnp.transpose(rows[:, :, :3], (0, 2, 1)), gm_slot[:, None, :]],
-            axis=1,
-        )  # (keep_l, 4, b)
-        vel_g = jnp.transpose(rows[:, :, 4:7], (0, 2, 1))
-        acc_g = jnp.transpose(rows[:, :, 7:10], (0, 2, 1))
-        orig_g = jnp.where(group_valid, myo[group_idx], n).astype(jnp.int32)
-        nid_g = jnp.where(
-            group_valid,
-            (myk[group_idx] >> (3 * (_DEPTH - ld))).astype(jnp.int32),
-            k_terminal,
+        return _regroup(
+            myk, myo, myf, border, spl, bucket_overflow, jnp.int32(0)
         )
 
-        # static cell ranges in GLOBAL slot space (chip k at [k*M_l, ...))
-        gslot = (k * M_l + jnp.arange(M_l, dtype=jnp.int32)).reshape(M_l)
-        nid_f = nid_g.reshape(M_l)
-        inf = jnp.int32(2**31 - 1)
-        stp = jax.ops.segment_min(
-            jnp.where(nid_f < k_terminal, gslot, inf), nid_f,
-            num_segments=k_terminal + 1,
-        )[:k_terminal]
-        enp = jax.ops.segment_max(
-            jnp.where(nid_f < k_terminal, gslot + 1, -1), nid_f,
-            num_segments=k_terminal + 1,
-        )[:k_terminal]
-        cntp = jax.ops.segment_sum(
-            (nid_f < k_terminal).astype(jnp.int32), nid_f,
-            num_segments=k_terminal + 1,
-        )[:k_terminal]
-        st_g = lax.pmin(stp, axis_name)
-        en_g = lax.pmax(enp, axis_name)
-        cnt_g = lax.psum(cntp, axis_name)
-        zero3 = jnp.zeros((k_terminal, 3), jnp.float32)
-        tree = grid_from_terminal(
-            zero3, jnp.zeros((k_terminal,), jnp.float32), cnt_g, st_g, en_g, ld
-        )
-        from nbody_tpu.ops.bh_fused import pack_it
+    def migrant_resort(st):
+        """Per-chip: re-sort in the FROZEN key frame (state border and
+        splitters), exchanging only splitter-crossers.  Sets the oob flag
+        instead of moving anything when a body has left the root cube —
+        the frozen frame can no longer represent it and the driver must
+        rebalance."""
+        k = lax.axis_index(axis_name)
+        border = st["border"]
+        spl = st["spl"]
+        rows4 = jnp.transpose(st["pg"], (0, 2, 1)).reshape(M_l, 4)
+        pos_f = rows4[:, :3]
+        gm_f = jnp.where(st["valid"], st["pg"][:, 3, :], 0.0).reshape(M_l)
+        vel_f = jnp.transpose(st["vel"], (0, 2, 1)).reshape(M_l, 3)
+        acc_f = jnp.transpose(st["acc"], (0, 2, 1)).reshape(M_l, 3)
+        orig_f = st["orig"].reshape(M_l)
+        fall = jnp.concatenate(
+            [pos_f, gm_f[:, None], vel_f, acc_f], axis=1
+        ).astype(jnp.float32)
 
-        it = pack_it(tree, ld)
-        lev = jnp.arange(16, dtype=jnp.float32)
-        bsq = (border.astype(jnp.float32) / jnp.exp2(lev)) ** 2
-        return {
-            "pg": pg, "vel": vel_g, "acc": acc_g, "valid": group_valid,
-            "gcount": gcount.astype(jnp.int32), "orig": orig_g, "nid": nid_g,
-            "it": it, "bsq": bsq, "border": border.reshape(()),
-            "bucket_overflow": jnp.maximum(bucket_overflow, 0).reshape(()),
-            "trimmed": trimmed.reshape(()),
-        }
+        real = orig_f < n
+        maxc = lax.pmax(
+            jnp.max(jnp.where(real[:, None], jnp.abs(pos_f), 0.0)), axis_name
+        )
+        oob = (2.0 * maxc > border).astype(jnp.int32)
+
+        keys = morton_encode(pos_f, border, _DEPTH)
+        keys = jnp.where(real, keys, _SENT_KEY)
+        dst = jnp.searchsorted(spl, keys, side="right").astype(jnp.int32)
+        stay = real & (dst == k)
+        mig = real & ~stay
+
+        # stays keep their slots; sentinel out everything else
+        stay_k = jnp.where(stay, keys, _SENT_KEY)
+
+        # migrants grouped by destination chip (stable order irrelevant:
+        # the merge argsorts by key anyway)
+        mkey = jnp.where(mig, dst, n_dev)
+        mord = jnp.argsort(mkey)
+        keys_m = keys[mord]
+        orig_m = orig_f[mord]
+        fall_m = fall[mord]
+        cnt_m = jax.ops.segment_sum(
+            mig.astype(jnp.int32), mkey, num_segments=n_dev + 1
+        )[:n_dev]
+        o_m = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt_m).astype(jnp.int32)]
+        )
+        bucket_overflow = lax.pmax(jnp.max(cnt_m - CB_mig), axis_name)
+
+        fpad = jnp.pad(fall_m, ((0, CB_mig), (0, 0)))
+        ipad = jnp.pad(
+            jnp.stack([keys_m, orig_m], axis=1), ((0, CB_mig), (0, 0))
+        )
+        sf, si = [], []
+        slot = jnp.arange(CB_mig, dtype=jnp.int32)[:, None]
+        for j in range(n_dev):
+            valid = slot < cnt_m[j]
+            fj = lax.dynamic_slice_in_dim(fpad, o_m[j], CB_mig, axis=0)
+            ij = lax.dynamic_slice_in_dim(ipad, o_m[j], CB_mig, axis=0)
+            fj = jnp.where(valid, fj, jnp.where(jnp.arange(10) == 3, 0.0, fj))
+            ij = jnp.where(
+                valid,
+                ij,
+                jnp.stack(
+                    [jnp.broadcast_to(_SENT_KEY, (CB_mig,)),
+                     jnp.full((CB_mig,), n, jnp.int32)], axis=1
+                ),
+            )
+            sf.append(fj)
+            si.append(ij)
+        send_f = jnp.stack(sf)
+        send_i = jnp.stack(si)
+        if n_dev > 1:
+            recv_f = lax.all_to_all(send_f, axis_name, split_axis=0, concat_axis=0)
+            recv_i = lax.all_to_all(send_i, axis_name, split_axis=0, concat_axis=0)
+        else:
+            recv_f, recv_i = send_f, send_i
+
+        m_comb = M_l + n_dev * CB_mig
+        comb_k = jnp.concatenate([stay_k, recv_i[:, :, 0].reshape(-1)])
+        comb_o = jnp.concatenate(
+            [jnp.where(stay, orig_f, n), recv_i[:, :, 1].reshape(-1)]
+        )
+        comb_f = jnp.concatenate(
+            [jnp.where(stay[:, None], fall, jnp.where(
+                jnp.arange(10) == 3, 0.0, fall)),
+             recv_f.reshape(-1, 10)]
+        )
+        mo = jnp.argsort(comb_k)
+        myk = comb_k[mo]
+        myo = comb_o[mo]
+        myf = comb_f[mo]
+        assert myk.shape[0] == m_comb
+        return _regroup(myk, myo, myf, border, spl, bucket_overflow, oob)
 
     def local_ft(pg, nid):
         """psum'd per-step float-table rebuild over stale cells."""
@@ -596,7 +724,7 @@ def persistent_shard_fns(
         "acc": P(axis_name, None, None), "valid": P(axis_name, None),
         "gcount": P(axis_name), "orig": P(axis_name, None),
         "nid": P(axis_name, None), "it": P(), "bsq": P(), "border": P(),
-        "bucket_overflow": P(), "trimmed": P(),
+        "spl": P(), "bucket_overflow": P(), "trimmed": P(), "oob": P(),
     }
 
     def _smap(fn, in_specs, out_specs):
@@ -607,38 +735,35 @@ def persistent_shard_fns(
             )
         )
 
-    def init_local(pos_l, vel_l, mass_l):
+    def init_local(pos_l, vel_l, mass_l, acc_l):
         k = lax.axis_index(axis_name)
         gm = (jnp.asarray(G, jnp.float32) * mass_l).astype(jnp.float32)
         orig = (k * C + jnp.arange(C, dtype=jnp.int32)).astype(jnp.int32)
-        return local_resort(
+        return full_redistribute(
             pos_l.astype(jnp.float32), vel_l.astype(jnp.float32),
-            jnp.zeros((C, 3), jnp.float32), gm, orig,
+            acc_l.astype(jnp.float32), gm, orig,
         )
 
-    init_fn = _smap(
-        init_local, (P(axis_name, None), P(axis_name, None), P(axis_name)),
+    init4 = _smap(
+        init_local,
+        (P(axis_name, None), P(axis_name, None), P(axis_name),
+         P(axis_name, None)),
         state_specs,
     )
 
-    def resort_local(st):
-        rows = jnp.transpose(st["pg"], (0, 2, 1)).reshape(M_l, 4)
-        return local_resort(
-            rows[:, :3],
-            jnp.transpose(st["vel"], (0, 2, 1)).reshape(M_l, 3),
-            jnp.transpose(st["acc"], (0, 2, 1)).reshape(M_l, 3),
-            jnp.where(st["valid"], st["pg"][:, 3, :], 0.0).reshape(M_l),
-            st["orig"].reshape(M_l),
-        )
+    def init_fn(pos, vel, mass, acc=None):
+        if acc is None:
+            acc = jnp.zeros(pos.shape, jnp.float32)
+        return init4(pos, vel, mass, acc)
 
-    resort_fn = _smap(resort_local, (state_specs,), state_specs)
+    resort_fn = _smap(migrant_resort, (state_specs,), state_specs)
 
     def prime_local(st):
         return {**st, "acc": local_force(st)}
 
     prime_fn = _smap(prime_local, (state_specs,), state_specs)
 
-    def make_steps(n_steps: int):
+    def make_steps(n_steps: int, with_history: bool = False):
         def steps_local(st, dt):
             dt = jnp.asarray(dt, jnp.float32)
             half = dt * 0.5
@@ -650,11 +775,19 @@ def persistent_shard_fns(
                 s = {**s, "pg": pg, "vel": vel}
                 acc = local_force(s)
                 s = {**s, "vel": s["vel"] + acc * half, "acc": acc}
-                return s, None
+                return s, (s["pg"][:, :3, :] if with_history else None)
 
-            st, _ = lax.scan(step, st, None, length=n_steps)
+            st, hist = lax.scan(step, st, None, length=n_steps)
+            if with_history:
+                return st, hist  # (T, keep_l, 3, b) per chip
             return st
 
+        if with_history:
+            return _smap(
+                steps_local,
+                (state_specs, P()),
+                (state_specs, P(None, axis_name, None, None)),
+            )
         return _smap(steps_local, (state_specs, P()), state_specs)
 
     def emit_local(st):
@@ -681,6 +814,10 @@ def persistent_shard_fns(
         emit_local, (state_specs,),
         (P(axis_name, None), P(axis_name, None)),
     )
+    # layout facts the chunked driver needs (drift guard cell size, host
+    # frame routing) without re-deriving _shard_layout's defaults
+    make_steps.ld = ld
+    make_steps.M_l = M_l
     return init_fn, resort_fn, prime_fn, make_steps, emit_fn
 
 
@@ -690,18 +827,38 @@ def simulate_persistent_sharded(
     dt: float,
     *,
     mesh=None,
+    n_real: int | None = None,
     resort_every: int = 8,
+    max_drift_frac: float = 0.25,
+    frame_writer=None,
+    checkpoint_every: int = 0,
+    checkpoint_fn=None,
+    progress_every: int = 0,
+    progress_fn=None,
     **kw,
 ):
     """Sharded persistent-order run: (sharded Bodies, steps, dt) ->
     (pos, vel) sharded in the original order.  Raises CapacityError on
     bucket overflow or group trim at any resort (host-checked between
-    chunks; kernel stack overflow NaN-poisons in-graph)."""
+    chunks; kernel stack overflow NaN-poisons in-graph).
+
+    Mirrors ops/bh_persistent.simulate_persistent's chunked driver:
+    `frame_writer` receives the initial frame then one (T, N, 3)
+    original-order chunk per scan chunk (history stays sharded on device,
+    gathered and routed on the host through the resort-constant `orig`
+    field); `checkpoint_fn(Bodies, step)` fires every `checkpoint_every`
+    steps via emit; `progress_fn(done, note)` every `progress_every`
+    steps after a device fence; the drift guard falls back to single-step
+    chunks (resort-per-step) when the fastest body would cross more than
+    `max_drift_frac` of a terminal cell per chunk (0 disables)."""
+    import numpy as np
+
     mesh = mesh or make_mesh()
     n = bodies.n
     init_fn, resort_fn, prime_fn, make_steps, emit_fn = persistent_shard_fns(
-        mesh=mesh, n=n, **kw
+        mesh=mesh, n=n, n_real=n_real, **kw
     )
+    ld = make_steps.ld
 
     def check(st):
         bad = {
@@ -714,18 +871,85 @@ def simulate_persistent_sharded(
                 f"sharded persistent Barnes-Hut capacity overflow: {bad}"
             )
 
+    def stale(st) -> bool:
+        """Migrant resort invalidated: rebalance from scratch (fresh
+        border + splitters) before any force is evaluated on it."""
+        return (
+            int(st["bucket_overflow"]) > 0
+            or int(st["trimmed"]) > 0
+            or int(st["oob"]) > 0
+        )
+
+    def rebalance(prev):
+        """Full re-init from the last GOOD state (the migrant resort with
+        overflowed buckets dropped bodies — never keep its output)."""
+        p_r, v_r = emit_fn(prev)
+        st = init_fn(p_r, v_r, bodies.mass)
+        check(st)  # init overflow is not recoverable
+        return prime_fn(st)
+
+    def flush_frames(st, hist):
+        h = np.asarray(hist)  # (T, P*keep_l, 3, b) gathered
+        h = h.transpose(0, 1, 3, 2).reshape(h.shape[0], -1, 3)
+        dest = np.asarray(st["orig"]).reshape(-1)
+        keep = dest < n
+        buf = np.zeros((h.shape[0], n, 3), np.float32)
+        buf[:, dest[keep]] = h[:, keep]
+        frame_writer(buf)
+
+    def do_checkpoint(st, step):
+        from nbody_tpu.core.types import Bodies
+
+        p_c, v_c = emit_fn(st)
+        checkpoint_fn(Bodies(p_c, v_c, bodies.mass), step)
+
     state = init_fn(bodies.pos, bodies.vel, bodies.mass)
     check(state)
     state = prime_fn(state)
+    if frame_writer is not None:
+        frame_writer(np.asarray(bodies.pos, np.float32)[None])
     done = 0
     steps_cache = {}
     while done < n_steps:
         t = min(resort_every, n_steps - done)
-        if t not in steps_cache:
-            steps_cache[t] = make_steps(t)
-        state = steps_cache[t](state, dt)
+        guarded = False
+        if max_drift_frac > 0 and t > 1 and dt != 0:
+            v_max = float(jnp.max(jnp.abs(state["vel"])))
+            cell = float(state["border"]) / (1 << ld)
+            if v_max * abs(dt) * t > max_drift_frac * cell:
+                t = 1
+                guarded = True
+        if checkpoint_every > 0:
+            next_ckpt = ((done // checkpoint_every) + 1) * checkpoint_every
+            t = min(t, next_ckpt - done)
+        if progress_every > 0:
+            next_prog = ((done // progress_every) + 1) * progress_every
+            t = min(t, next_prog - done)
+        key = (t, frame_writer is not None)
+        if key not in steps_cache:
+            steps_cache[key] = make_steps(t, with_history=key[1])
+        if frame_writer is not None:
+            state, hist = steps_cache[key](state, dt)
+            flush_frames(state, hist)
+        else:
+            state = steps_cache[key](state, dt)
         done += t
+        if (
+            checkpoint_every > 0
+            and checkpoint_fn is not None
+            and done % checkpoint_every == 0
+        ):
+            do_checkpoint(state, done)
+        if (
+            progress_every > 0
+            and progress_fn is not None
+            and done % progress_every == 0
+        ):
+            np.asarray(state["border"])  # fence (real wall time)
+            progress_fn(done, "drift-guard: per-step resorts" if guarded else "")
         if done < n_steps:
+            prev = state
             state = resort_fn(state)
-            check(state)
+            if stale(state):
+                state = rebalance(prev)
     return emit_fn(state)

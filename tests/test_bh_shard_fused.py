@@ -161,3 +161,58 @@ def test_sharded_persistent_matches_reference(mesh):
     # the position bound (measured 4.5e-4; the old 5e-1 proved only
     # finiteness)
     assert np.isfinite(dv) and dv < 2e-3
+
+
+def test_sharded_persistent_migration(mesh):
+    """Migrant-only resorts under REAL migration: fast bodies cross chip
+    Morton ranges between resorts (drift guard disabled so multi-step
+    chunks run), trajectory parity vs fp64 direct summation."""
+    from nbody_tpu.core.types import Bodies
+    from nbody_tpu.integrate.leapfrog import leapfrog_steps
+    from nbody_tpu.ops.exhaustive import direct_accelerations
+    from nbody_tpu.parallel.bh_shard import simulate_persistent_sharded
+
+    n = 512
+    pos, vel, mass = _cloud(n, seed=23)
+    vel = vel * 20.0  # ~0.4 per chunk of 2 steps: crosses terminal cells
+    bodies = shard_bodies(Bodies(pos, vel, mass), mesh=mesh)
+    p_s, v_s = simulate_persistent_sharded(
+        bodies, 6, 1e-2, mesh=mesh, resort_every=2, max_drift_frac=0.0,
+        G=G, softening_sq=EPS2, theta=0.5, group_size=128,
+    )
+    ref, _ = leapfrog_steps(
+        Bodies(pos, vel, mass), 6, 1e-2, direct_accelerations
+    )
+    dp = np.abs(np.asarray(p_s)[:n] - np.asarray(ref.pos)).max()
+    # stale-partition MAC error accumulates over the un-resorted steps;
+    # positions move ~1.2 over the run, so 5e-3 is theta-level accuracy
+    assert dp < 5e-3, dp
+
+
+def test_sharded_persistent_oob_rebalance(mesh):
+    """A body escaping the frozen root cube must trigger the oob flag and
+    a full rebalance (fresh border + splitters), not silent key clamping."""
+    from nbody_tpu.core.types import Bodies
+    from nbody_tpu.integrate.leapfrog import leapfrog_steps
+    from nbody_tpu.ops.exhaustive import direct_accelerations
+    from nbody_tpu.parallel.bh_shard import simulate_persistent_sharded
+
+    n = 512
+    pos, vel, mass = _cloud(n, seed=29)
+    # exits the root cube after ~3 steps
+    vel = vel.at[7].set(jnp.asarray([60.0, 0.0, 0.0], jnp.float32))
+    bodies = shard_bodies(Bodies(pos, vel, mass), mesh=mesh)
+    p_s, v_s = simulate_persistent_sharded(
+        bodies, 8, 1e-2, mesh=mesh, resort_every=2, max_drift_frac=0.0,
+        G=G, softening_sq=EPS2, theta=0.5, group_size=128,
+    )
+    ref, _ = leapfrog_steps(
+        Bodies(pos, vel, mass), 8, 1e-2, direct_accelerations
+    )
+    got = np.asarray(p_s)[:n]
+    want = np.asarray(ref.pos)
+    assert np.isfinite(got).all()
+    dp = np.abs(got - want).max()
+    assert dp < 5e-3, dp
+    # the escaper really did leave the initial cube (the test premise)
+    assert np.abs(want[7]).max() > 2.0 * np.abs(np.asarray(pos)).max()
