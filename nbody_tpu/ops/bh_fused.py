@@ -12,14 +12,20 @@ rules pinned by tools/mb_probe.py and the stage costs from
 tools/mb_kernel.py:
 
   * the octree is the DENSE grid of nbody_tpu.ops.bh_grid packed into two
-    VMEM-resident tables addressed by octet (8 siblings): a float table
+    HBM tables addressed by octet (8 siblings): a float table
     [cx8|cy8|cz8|gm8] (4 octets/row) and an int table [start8|span8]
     (8 octets/row) — children of cell c are ALWAYS octet c of the next
-    level, so the traversal stack holds bare (level, octet) ints in SMEM;
-  * classification is 8-wide VPU work on one dynamically-rolled row; ONE
-    vector->scalar reduction per pop returns all three masks as packed
-    bits (the reduction is the measured 200 ns serial cost per pop —
-    everything else rides in its shadow);
+    level, so a frontier entry is a bare octet int in SMEM;
+  * the traversal is a LEVEL-SYNCHRONOUS BFS (round 3; the round-2
+    per-octet DFS paid a vector->scalar sync and dynamic table rolls per
+    pop): per 128-octet frontier chunk, the table rows ride bulk
+    issue-early DMAs from HBM, classification is one batch of (128, 8)
+    vector ops, and ONE bits-row DMA to SMEM crosses the vector->scalar
+    boundary for the whole chunk;
+  * one grid program processes `groups_per_program` groups: the pallas
+    per-program block pipeline costs ~30+ us regardless of content, and
+    keeping the 7 MB tables out of the block pipeline (HBM + row DMAs)
+    stops it re-fetching them every program;
   * far-accepted COMs are staged into a (4, 128) accumulator with the
     repeat+lane-mask trick; near cells stage (start, count) the same way
     and are bulk-scalarized 128 at a time via a VMEM->SMEM DMA (per-
@@ -41,7 +47,7 @@ no terminal-COM residual: over-full terminal cells ship their bodies
 exactly (the role of the reference's unbounded leaf split,
 serial/barnes-hut.c:206-245), so clustered inputs get exact-at-theta
 forces at a cost bounded by the cluster population.  The only capacity is
-the 512-entry DFS stack (depth 6 needs < 50), runtime-checked via the
+the per-level frontier (FRONTIER_CAP octets), runtime-checked via the
 per-group stats output.
 """
 
@@ -61,9 +67,7 @@ from nbody_tpu.ops.bh_grid import build_grid, grid_offsets
 from nbody_tpu.ops.barneshut import compact_groups, group_bodies
 from nbody_tpu.ops.morton import morton_sort
 
-STACK_CAP = 512
-_LV_SHIFT = 20  # stack entry = (parent_level << 20) | octet_id
-_OT_MASK = (1 << _LV_SHIFT) - 1
+FRONTIER_CAP = 2048  # octets per level per group (runtime overflow-checked)
 
 # stats lanes (per group)
 S_POPS, S_SRC, S_NEAR, S_OVF, S_ROWS = 0, 1, 2, 3, 4
@@ -128,8 +132,9 @@ def _fused_kernel(
     acc_ref,  # VMEM (1, 4, B) f32 — planar [ax; ay; az; 0] (same reason)
     stats_ref,  # VMEM (1, 1, 128) i32 block per program (lanes 0..4 = stats)
     # scratch
-    st,  # SMEM (16,) i32 — kernel state
-    stack,  # SMEM (STACK_CAP,) i32
+    st,  # SMEM (32,) i32 — kernel state; slots 16+d = frontier count lvl d
+    fr,  # SMEM ((ld+1)*FCH, 128) i32 — per-level octet frontiers
+    bsm,  # SMEM (1, 128) i32 — bulk-scalarized classify bits
     rowmeta,  # SMEM (RB, 4) i32 — [is_dma, mask_start, mask_end, _]
     rsm,  # SMEM (2, 128) i32 — bulk-scalarized ranges
     srcacc,  # VMEM (4, 128) f32 — COM staging accumulator
@@ -139,15 +144,29 @@ def _fused_kernel(
     ax,  # VMEM (B, 128) f32 lane-accumulators (reduced once at the end)
     ay,  # VMEM (B, 128) f32
     az,  # VMEM (B, 128) f32
+    gft,  # VMEM (128, 128) f32 — gathered ft rows for one frontier chunk
+    git,  # VMEM (128, 128) i32 — gathered it rows
+    gcx,  # VMEM (128, 8) f32 — per-slot classify values for the stage loop
+    gcy,  # VMEM (128, 8) f32
+    gcz,  # VMEM (128, 8) f32
+    gfgm,  # VMEM (128, 8) f32 — far-masked G*mass (0 for non-far children)
+    gst,  # VMEM (128, 8) i32 — child body-range starts
+    gnct,  # VMEM (128, 8) i32 — near-masked child body counts
+    fidv,  # VMEM (1, 128) i32 — frontier ids (vector copy for q/e math)
+    bvm,  # VMEM (1, 128) i32 — classify bits staging (DMA source)
+    gsemf,  # DMA sems (128,) — chunk ft-row gathers
+    gsemi,  # DMA sems (128,) — chunk it-row gathers
     sems,  # DMA sems (RB,)
-    vsem,  # DMA sems (3,) — rng bulk x2, COM row flush
+    vsem,  # DMA sems (5,) — rng bulk x2, COM flush, bits, fids
     *,
     theta_sq: float,
     eps2: float,
     leaf_cap: int,
     ld: int,
     rb: int,
-    pb: int = 1,
+    fcap: int = FRONTIER_CAP,
+    gpp: int = 8,
+    interpret_gather: bool = False,
     debug_mode: str = "full",
 ):
     # debug_mode bisects the kernel's serial cost centers on hardware
@@ -158,307 +177,454 @@ def _fused_kernel(
     do_stage = debug_mode != "pops"
     do_dma = debug_mode in ("dma", "full")
     do_eval = debug_mode == "full"
-    SP, NSRC, NRNG, ROWS, PEND_S, PEND_E, POPS, NNEAR, TSRC, OVF = range(10)
+    _SP, NSRC, NRNG, ROWS, PEND_S, PEND_E, POPS, NNEAR, TSRC, OVF = range(10)
+    FR0 = 16  # st[FR0 + d] = frontier count for level d
+    fch = fcap // 128
     g = pl.program_id(0)
+    b_sz = pg_ref.shape[2]
     lanes = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    l8 = lax.broadcasted_iota(jnp.int32, (1, 8), 1)
 
-    for k in range(10):
-        st[k] = 0
-    ax[...] = jnp.zeros_like(ax)
-    ay[...] = jnp.zeros_like(ay)
-    az[...] = jnp.zeros_like(az)
-    # fresh scratch can hold NaN bit patterns; a NaN coordinate row would
-    # poison the whole accumulation through 0 * NaN — zero it all
-    srcacc[...] = jnp.zeros_like(srcacc)
-    rngc[...] = jnp.zeros_like(rngc)
+    # Multiple groups per grid program: the pallas per-program pipeline
+    # overhead measured ~150 us on this chip REGARDLESS of body content
+    # (a zero-work kernel over 1720 programs costs 256 ms — the round-2
+    # 'pop floor' was mostly this).  Amortize it by giving each program
+    # gpp groups; scratch is reused, per-group state re-zeroed.
+    for gg in range(gpp):
+        if debug_mode == "none":
+            # floor probe: only the block pipeline + a dummy write
+            acc_ref[gg] = pg_ref[gg]
+            stats_ref[gg] = jnp.zeros_like(stats_ref[gg])
+            continue
+        if True:
+            for k in range(16 + ld + 2):
+                st[k] = 0
+            ax[...] = jnp.zeros_like(ax)
+            ay[...] = jnp.zeros_like(ay)
+            az[...] = jnp.zeros_like(az)
+            # fresh scratch can hold NaN bit patterns; a NaN coordinate row would
+            # poison the whole accumulation through 0 * NaN — zero it all
+            srcacc[...] = jnp.zeros_like(srcacc)
+            rngc[...] = jnp.zeros_like(rngc)
 
-    pgb = jnp.transpose(pg_ref[0])  # (4, B) -> (B, 4)
-    xi, yi, zi = pgb[:, 0:1], pgb[:, 1:2], pgb[:, 2:3]
+            pgb = jnp.transpose(pg_ref[gg])  # (4, B) -> (B, 4)
+            xi, yi, zi = pgb[:, 0:1], pgb[:, 1:2], pgb[:, 2:3]
 
-    # ---- burst: evaluate all staged source rows against the group -------
-    def burst():
-        nrows = st[ROWS]
+            # ---- burst: evaluate all staged source rows against the group -------
+            def burst():
+                nrows = st[ROWS]
 
-        def brow(r, _):
-            @pl.when(r < nrows)
-            def _():
-                if do_dma:
-                    @pl.when(rowmeta[r, 0] == 1)
+                def brow(r, _):
+                    @pl.when(r < nrows)
                     def _():
-                        # wait the body-window DMA for this row (descriptor
-                        # shape matches; offsets irrelevant for the wait)
+                        if do_dma and not interpret_gather:
+                            @pl.when(rowmeta[r, 0] == 1)
+                            def _():
+                                # wait the body-window DMA for this row (descriptor
+                                # shape matches; offsets irrelevant for the wait)
+                                pltpu.make_async_copy(
+                                    ps_ref.at[:, pl.ds(0, 128)],
+                                    src.at[r],
+                                    sems.at[r],
+                                ).wait()
+                        if not do_eval:
+                            return
+                        ms, me = rowmeta[r, 1], rowmeta[r, 2]
+                        sxr = src[r, 0:1, :]
+                        syr = src[r, 1:2, :]
+                        szr = src[r, 2:3, :]
+                        sgr = jnp.where(
+                            (lanes >= ms) & (lanes < me), src[r, 3:4, :], 0.0
+                        )
+                        dx = sxr - xi  # (B, 128)
+                        dy = syr - yi
+                        dz = szr - zi
+                        r2 = dx * dx + dy * dy + dz * dz + eps2
+                        inv = lax.rsqrt(r2)
+                        w = sgr * (inv * inv * inv)
+                        # accumulate in (B, 128) and reduce ONCE at kernel
+                        # end: per-row cross-lane reductions were the
+                        # round-1 eval cost.  (Round 3 probed 256-sublane
+                        # occupancy chunking with tail skip: neutral at
+                        # ~85% group fill, the extra per-row guards eat
+                        # the saved beats.)
+                        ax[...] += w * dx
+                        ay[...] += w * dy
+                        az[...] += w * dz
+
+                    return 0
+
+                lax.fori_loop(0, rb, brow, 0)
+                st[ROWS] = 0
+
+            # ---- row allocation (bursts when the buffer is full) ----------------
+            def alloc_row():
+                @pl.when(st[ROWS] == rb)
+                def _():
+                    burst()
+
+                row = st[ROWS]
+                st[ROWS] = row + 1
+                return row
+
+            def flush_com_row():
+                row = alloc_row()
+                # interpret mode: every emulated DMA costs ~ms on the CPU
+                # host (it spawns a copy thread); direct ref copies are the
+                # same semantics there.  Applies to every small scratch
+                # copy below.
+                if interpret_gather:
+                    src[row] = srcacc[...]
+                else:
+                    cp = pltpu.make_async_copy(srcacc, src.at[row], vsem.at[2])
+                    cp.start()
+                    cp.wait()
+                rowmeta[row, 0] = 0
+                rowmeta[row, 1] = 0
+                rowmeta[row, 2] = 128
+                srcacc[3:4, :] = jnp.zeros((1, 128), jnp.float32)
+
+            # ---- near-range plumbing ---------------------------------------------
+            def flush_pending():
+                s, e = st[PEND_S], st[PEND_E]
+                st[NNEAR] = st[NNEAR] + (e - s)
+
+                def wcond(w):
+                    return w < e
+
+                def wbody(w):
+                    row = alloc_row()
+                    wa = pl.multiple_of(w, 128)
+                    if do_dma and interpret_gather:
+                        src[row] = ps_ref[:, pl.ds(wa, 128)]
+                    elif do_dma:
                         pltpu.make_async_copy(
-                            ps_ref.at[:, pl.ds(0, 128)],
-                            src.at[r],
-                            sems.at[r],
-                        ).wait()
-                if not do_eval:
-                    return
-                ms, me = rowmeta[r, 1], rowmeta[r, 2]
-                sxr = src[r, 0:1, :]
-                syr = src[r, 1:2, :]
-                szr = src[r, 2:3, :]
-                sgr = jnp.where(
-                    (lanes >= ms) & (lanes < me), src[r, 3:4, :], 0.0
-                )
-                dx = sxr - xi  # (B, 128)
-                dy = syr - yi
-                dz = szr - zi
-                r2 = dx * dx + dy * dy + dz * dz + eps2
-                inv = lax.rsqrt(r2)
-                w = sgr * (inv * inv * inv)
-                # accumulate in (B, 128) and reduce ONCE at kernel end:
-                # the three per-row cross-lane reductions were the
-                # dominant eval cost (stage bisect: eval 274 ms of the
-                # 648 ms 1M kernel; reductions, not flops)
-                ax[...] += w * dx
-                ay[...] += w * dy
-                az[...] += w * dz
+                            ps_ref.at[:, pl.ds(wa, 128)], src.at[row], sems.at[row]
+                        ).start()
+                    rowmeta[row, 0] = 1 if (do_dma and not interpret_gather) else 0
+                    rowmeta[row, 1] = jnp.maximum(s - w, 0)
+                    rowmeta[row, 2] = jnp.minimum(e - w, 128)
+                    return w + 128
 
-            return 0
+                lax.while_loop(wcond, wbody, (s >> 7) << 7)
 
-        lax.fori_loop(0, rb, brow, 0)
-        st[ROWS] = 0
+            def bulk_ranges():
+                # scalarize 128 staged (start, count) pairs with one DMA pair
+                if interpret_gather:
+                    rsm[0:1, :] = rngs[...]
+                    rsm[1:2, :] = rngc[...]
+                else:
+                    c0 = pltpu.make_async_copy(rngs, rsm.at[0:1, :], vsem.at[0])
+                    c1 = pltpu.make_async_copy(rngc, rsm.at[1:2, :], vsem.at[1])
+                    c0.start()
+                    c1.start()
+                    c0.wait()
+                    c1.wait()
 
-    # ---- row allocation (bursts when the buffer is full) ----------------
-    def alloc_row():
-        @pl.when(st[ROWS] == rb)
-        def _():
-            burst()
+                def lane_k(k, _):
+                    c = rsm[1, k]
 
-        row = st[ROWS]
-        st[ROWS] = row + 1
-        return row
+                    @pl.when(c > 0)
+                    def _():
+                        s = rsm[0, k]
+                        pe = st[PEND_E]
 
-    def flush_com_row():
-        row = alloc_row()
-        cp = pltpu.make_async_copy(srcacc, src.at[row], vsem.at[2])
-        cp.start()
-        cp.wait()
-        rowmeta[row, 0] = 0
-        rowmeta[row, 1] = 0
-        rowmeta[row, 2] = 128
-        srcacc[3:4, :] = jnp.zeros((1, 128), jnp.float32)
+                        @pl.when(s == pe)  # contiguous: extend the pending run
+                        def _():
+                            st[PEND_E] = pe + c
 
-    # ---- near-range plumbing ---------------------------------------------
-    def flush_pending():
-        s, e = st[PEND_S], st[PEND_E]
-        st[NNEAR] = st[NNEAR] + (e - s)
+                        @pl.when(s != pe)
+                        def _():
+                            flush_pending()
+                            st[PEND_S] = s
+                            st[PEND_E] = s + c
 
-        def wcond(w):
-            return w < e
+                    return 0
 
-        def wbody(w):
-            row = alloc_row()
-            wa = pl.multiple_of(w, 128)
-            if do_dma:
-                pltpu.make_async_copy(
-                    ps_ref.at[:, pl.ds(wa, 128)], src.at[row], sems.at[row]
-                ).start()
-            rowmeta[row, 0] = 1 if do_dma else 0
-            rowmeta[row, 1] = jnp.maximum(s - w, 0)
-            rowmeta[row, 2] = jnp.minimum(e - w, 128)
-            return w + 128
+                lax.fori_loop(0, 128, lane_k, 0)
+                rngc[...] = jnp.zeros_like(rngc)
+                st[NRNG] = 0
 
-        lax.while_loop(wcond, wbody, (s >> 7) << 7)
+            # ---- group bounding box (pad slots repeat body 0: box stays tight) --
+            lox, hix = jnp.min(xi), jnp.max(xi)
+            loy, hiy = jnp.min(yi), jnp.max(yi)
+            loz, hiz = jnp.min(zi), jnp.max(zi)
 
-    def bulk_ranges():
-        # scalarize 128 staged (start, count) pairs with one DMA pair
-        c0 = pltpu.make_async_copy(rngs, rsm.at[0:1, :], vsem.at[0])
-        c1 = pltpu.make_async_copy(rngc, rsm.at[1:2, :], vsem.at[1])
-        c0.start()
-        c1.start()
-        c0.wait()
-        c1.wait()
-
-        def lane_k(k, _):
-            c = rsm[1, k]
-
-            @pl.when(c > 0)
+            # ---- BFS level-synchronous traversal over octets ---------------------
+            # The round-2 DFS popped one octet at a time: each pop paid dynamic
+            # table rolls, a vector->scalar mask reduction, and the serial
+            # dependency through the stack pointer -- measured 1.6 us/pop, 320 ms
+            # of the 485 ms 1M step; batching pops (pop_batch) bought only 10 ms
+            # because the cost is scalar-issue volume, not reduction latency.
+            # The BFS frontier restructures the traversal so the vector unit
+            # classifies 128 octets per instruction and the vector->scalar
+            # boundary is crossed ONCE PER 128-OCTET CHUNK (a bulk bits DMA to
+            # SMEM), not once per octet:
+            #
+            #   per level d (static python loop, ld <= 6):
+            #     per chunk of <=128 frontier octets (while_loop, pure carry):
+            #       1. scalar gather: two dynamic-sublane vector loads per octet
+            #          copy its ft/it table rows into (128, 128) chunk buffers;
+            #       2. vector classify: extract each row's octet quarter with
+            #          static lane slices selected by q = id & 3 / e = id & 7
+            #          (the frontier-id row rides an SMEM->VMEM DMA), run the MAC
+            #          on (128, 8) arrays, pack far|open|near masks into one
+            #          (1, 128) bits row;
+            #       3. ONE DMA scalarizes the bits row into SMEM;
+            #       4. scalar stage/push: per octet, far COMs and near ranges go
+            #          through the unchanged staging machinery (reading classify
+            #          values back from (128, 8) VMEM scratch at dynamic sublane
+            #          offsets) and open children append to the next level's
+            #          frontier (branchless clamped stores).
+            #
+            # Per-level processing keeps pushes in ascending Morton order, so
+            # near-range runs still merge within a level; runs no longer merge
+            # ACROSS levels (the DFS did), costing a few extra partially-filled
+            # near windows -- noise next to the removed per-pop syncs.
+            @pl.when((gcount_ref[g * gpp + gg] > 0) & (debug_mode != "none"))
             def _():
-                s = rsm[0, k]
-                pe = st[PEND_E]
+                fr[0, 0] = 0  # the root's children octet
+                st[FR0] = 1
+                rowid8 = lax.broadcasted_iota(jnp.int32, (128, 8), 0)
+                l8r = lax.broadcasted_iota(jnp.int32, (128, 8), 1)
 
-                @pl.when(s == pe)  # contiguous: extend the pending run
-                def _():
-                    st[PEND_E] = pe + c
+                for d in range(ld):
+                    cnt_d = st[FR0 + d]  # final: level-d pushes happened at d-1
+                    terminal = d + 1 >= ld
 
-                @pl.when(s != pe)
-                def _():
-                    flush_pending()
-                    st[PEND_S] = s
-                    st[PEND_E] = s + c
+                    def ch_body(c0, d=d, cnt_d=cnt_d, terminal=terminal):
+                        base = d * fch + (c0 >> 7)
+                        k_here = jnp.minimum(cnt_d - c0, 128)
 
-            return 0
+                        # frontier ids to VMEM for the vector q/e selects
+                        if interpret_gather:
+                            fidv[...] = fr[pl.ds(base, 1), :]
+                        else:
+                            cpf = pltpu.make_async_copy(
+                                fr.at[pl.ds(base, 1), :], fidv, vsem.at[4]
+                            )
+                            cpf.start()
+                            cpf.wait()
 
-        lax.fori_loop(0, 128, lane_k, 0)
-        rngc[...] = jnp.zeros_like(rngc)
-        st[NRNG] = 0
+                        # 1. gather table rows from HBM: issue all DMAs, then
+                        # wait — issued-early DMAs hide the HBM latency.  Dynamic
+                        # trip count: a fixed 128-iteration loop pays bookkeeping
+                        # for the guarded-off tail, and most chunks are far from
+                        # full.  Interpret mode reads the rows directly (each
+                        # emulated DMA costs ~ms on the CPU host; the tables are
+                        # plain arrays there).
+                        if interpret_gather:
+                            def gath(i, _):
+                                ot = fr[base, i]
+                                gft[pl.ds(i, 1), :] = ft_ref[pl.ds(ot >> 2, 1), :]
+                                git[pl.ds(i, 1), :] = it_ref[pl.ds(ot >> 3, 1), :]
+                                return 0
 
-    # ---- group bounding box (pad slots repeat body 0: box stays tight) --
-    lox, hix = jnp.min(xi), jnp.max(xi)
-    loy, hiy = jnp.min(yi), jnp.max(yi)
-    loz, hiz = jnp.min(zi), jnp.max(zi)
+                            lax.fori_loop(0, k_here, gath, 0)
+                        else:
+                            def gath(i, _):
+                                ot = fr[base, i]
+                                pltpu.make_async_copy(
+                                    ft_ref.at[pl.ds(ot >> 2, 1), :],
+                                    gft.at[pl.ds(i, 1), :], gsemf.at[i]).start()
+                                pltpu.make_async_copy(
+                                    it_ref.at[pl.ds(ot >> 3, 1), :],
+                                    git.at[pl.ds(i, 1), :], gsemi.at[i]).start()
+                                return 0
 
-    # ---- DFS over octets -------------------------------------------------
-    # The stack pointer is the while CARRY, not SMEM state: a while_loop
-    # condition must be pure in its carry (a Ref read in the condition is
-    # hoisted by state discharge and the loop never terminates).
-    stack[0] = 0  # (level 0) << 20 | octet 0 = the root's children
+                            lax.fori_loop(0, k_here, gath, 0)
 
-    def pop_cond(sp):
-        return sp > 0
+                            def gwait(i, _):
+                                # descriptor shapes match the starts; offsets are
+                                # irrelevant for a wait
+                                pltpu.make_async_copy(
+                                    ft_ref.at[pl.ds(0, 1), :],
+                                    gft.at[pl.ds(i, 1), :], gsemf.at[i]).wait()
+                                pltpu.make_async_copy(
+                                    it_ref.at[pl.ds(0, 1), :],
+                                    git.at[pl.ds(i, 1), :], gsemi.at[i]).wait()
+                                return 0
 
-    n_oct = grid_offsets(ld)[ld]
+                            lax.fori_loop(0, k_here, gwait, 0)
 
-    def pop_body(sp):
-        # Batched pop: classify up to `pb` stack entries per iteration
-        # BEFORE any of them stage or push.  At pb=1 each pop serializes
-        # on its own vector->scalar mask reduction (~200 ns latency, the
-        # measured floor: 320 ms of the 1M kernel); the batch's
-        # independent classify chains and reductions pipeline instead.
-        # All entries are consumed (read) in the classify phase, so the
-        # push phase may safely overwrite the popped slots.
-        take = jnp.minimum(sp, pb)
-        sp = sp - take
-        st[POPS] = st[POPS] + take
+                        # 2. vector classify on (128, 8)
+                        fid = fidv[...]
+                        q1 = jnp.transpose(fid & 3)  # (128, 1)
+                        e1 = jnp.transpose(fid & 7)
 
-        slots = []
-        for j in range(pb):
-            # slot j >= take reads stale stack memory: clamp the decoded
-            # level/octet into table range (garbage math, gated out below)
-            e = stack[jnp.minimum(sp + j, STACK_CAP - 1)]
-            d = jnp.clip(e >> _LV_SHIFT, 0, 14)
-            ot = jnp.clip(e & _OT_MASK, 0, n_oct - 1)
+                        def sel4(off):
+                            r = gft[:, 96 + off : 104 + off]
+                            for q in (2, 1, 0):
+                                r = jnp.where(
+                                    q1 == q, gft[:, 32 * q + off : 32 * q + off + 8], r
+                                )
+                            return r
 
-            frow = ft_ref[pl.ds(ot >> 2, 1), :]
-            fb = (ot & 3) * 32
-            cx8 = pltpu.roll(frow, (128 - fb) & 127, axis=1)[:, 0:8]
-            cy8 = pltpu.roll(frow, (120 - fb) & 127, axis=1)[:, 0:8]
-            cz8 = pltpu.roll(frow, (112 - fb) & 127, axis=1)[:, 0:8]
-            gm8 = pltpu.roll(frow, (104 - fb) & 127, axis=1)[:, 0:8]
-            irow = it_ref[pl.ds(ot >> 3, 1), :]
-            ib = (ot & 7) * 16
-            st8 = pltpu.roll(irow, (128 - ib) & 127, axis=1)[:, 0:8]
-            ct8 = pltpu.roll(irow, (120 - ib) & 127, axis=1)[:, 0:8]
+                        cx8 = sel4(0)
+                        cy8 = sel4(8)
+                        cz8 = sel4(16)
+                        gm8 = sel4(24)
 
-            # MAC: distance from child COM to the group AABB vs child size
-            ddx = cx8 - jnp.clip(cx8, lox, hix)
-            ddy = cy8 - jnp.clip(cy8, loy, hiy)
-            ddz = cz8 - jnp.clip(cz8, loz, hiz)
-            d2 = ddx * ddx + ddy * ddy + ddz * ddz
-            exists = ct8 > 0
-            far8 = exists & (theta_sq * d2 > bsq_ref[d + 1])
-            if ld > 1:
-                terminal = d + 1 >= ld
-            else:
-                terminal = True
-            near8 = exists & ~far8 & ((ct8 <= leaf_cap) | terminal)
-            open8 = exists & ~far8 & ~near8
-            # ONE vector->scalar reduction per slot: all three masks as bits
-            bits = jnp.sum(
-                jnp.where(far8, jnp.int32(1) << l8, 0)
-                + jnp.where(open8, jnp.int32(1) << (l8 + 8), 0)
-                + jnp.where(near8, jnp.int32(1) << (l8 + 16), 0)
-            )
-            slots.append((bits, cx8, cy8, cz8, gm8, st8, ct8, far8, near8, d, ot))
+                        def sel8(off):
+                            r = git[:, 112 + off : 120 + off]
+                            for e in (6, 5, 4, 3, 2, 1, 0):
+                                r = jnp.where(
+                                    e1 == e, git[:, 16 * e + off : 16 * e + off + 8], r
+                                )
+                            return r
 
-        sp2 = sp
-        for j, (bits, cx8, cy8, cz8, gm8, st8_, ct8, far8, near8, d, ot) in enumerate(slots):
-            valid = j < take
+                        st8 = sel8(0)
+                        ct8 = sel8(8)
 
-            @pl.when(valid & ((bits & 0xFF) > 0) & do_stage)  # -- far COMs --
-            def _(cx8=cx8, cy8=cy8, cz8=cz8, gm8=gm8, far8=far8):
-                nsrc = st[NSRC]
-                m = (lanes >> 3) == ((nsrc >> 3) & 15)
-                srcacc[0:1, :] = jnp.where(m, pltpu.repeat(cx8, 16, axis=1), srcacc[0:1, :])
-                srcacc[1:2, :] = jnp.where(m, pltpu.repeat(cy8, 16, axis=1), srcacc[1:2, :])
-                srcacc[2:3, :] = jnp.where(m, pltpu.repeat(cz8, 16, axis=1), srcacc[2:3, :])
-                srcacc[3:4, :] = jnp.where(
-                    m,
-                    pltpu.repeat(jnp.where(far8, gm8, 0.0), 16, axis=1),
-                    srcacc[3:4, :],
-                )
-                st[NSRC] = nsrc + 8
-                st[TSRC] = st[TSRC] + 8
+                        ddx = cx8 - jnp.clip(cx8, lox, hix)
+                        ddy = cy8 - jnp.clip(cy8, loy, hiy)
+                        ddz = cz8 - jnp.clip(cz8, loz, hiz)
+                        d2 = ddx * ddx + ddy * ddy + ddz * ddz
+                        valid = rowid8 < k_here
+                        exists = (ct8 > 0) & valid
+                        far8 = exists & (theta_sq * d2 > bsq_ref[d + 1])
+                        near8 = exists & ~far8 & ((ct8 <= leaf_cap) | terminal)
+                        open8 = exists & ~far8 & ~near8
 
-                @pl.when(((nsrc + 8) & 127) == 0)
+                        gcx[...] = cx8
+                        gcy[...] = cy8
+                        gcz[...] = cz8
+                        gfgm[...] = jnp.where(far8, gm8, 0.0)
+                        gst[...] = st8
+                        gnct[...] = jnp.where(near8, ct8, 0)
+                        bits128 = jnp.sum(
+                            jnp.where(far8, jnp.int32(1) << l8r, 0)
+                            + jnp.where(open8, jnp.int32(1) << (l8r + 8), 0)
+                            + jnp.where(near8, jnp.int32(1) << (l8r + 16), 0),
+                            axis=1,
+                            keepdims=True,
+                        )  # (128, 1)
+                        bvm[...] = jnp.transpose(bits128)
+
+                        # 3. one bulk scalarization per chunk
+                        if interpret_gather:
+                            bsm[...] = bvm[...]
+                        else:
+                            cpb = pltpu.make_async_copy(bvm, bsm, vsem.at[3])
+                            cpb.start()
+                            cpb.wait()
+                        st[POPS] = st[POPS] + k_here
+
+                        # 4. scalar stage/push
+                        def sp_loop(i, _, d=d):
+                            if True:  # dynamic trip count (see gather loop)
+                                bits = bsm[0, i]
+
+                                @pl.when(((bits & 0xFF) > 0) & do_stage)
+                                def _():  # -- far COMs --
+                                    nsrc = st[NSRC]
+                                    m = (lanes >> 3) == ((nsrc >> 3) & 15)
+                                    srcacc[0:1, :] = jnp.where(
+                                        m,
+                                        pltpu.repeat(gcx[pl.ds(i, 1), :], 16, axis=1),
+                                        srcacc[0:1, :],
+                                    )
+                                    srcacc[1:2, :] = jnp.where(
+                                        m,
+                                        pltpu.repeat(gcy[pl.ds(i, 1), :], 16, axis=1),
+                                        srcacc[1:2, :],
+                                    )
+                                    srcacc[2:3, :] = jnp.where(
+                                        m,
+                                        pltpu.repeat(gcz[pl.ds(i, 1), :], 16, axis=1),
+                                        srcacc[2:3, :],
+                                    )
+                                    srcacc[3:4, :] = jnp.where(
+                                        m,
+                                        pltpu.repeat(gfgm[pl.ds(i, 1), :], 16, axis=1),
+                                        srcacc[3:4, :],
+                                    )
+                                    st[NSRC] = nsrc + 8
+                                    st[TSRC] = st[TSRC] + 8
+
+                                    @pl.when(((nsrc + 8) & 127) == 0)
+                                    def _():
+                                        flush_com_row()
+
+                                @pl.when(((bits >> 16) > 0) & do_stage)
+                                def _():  # -- near ranges --
+                                    nr = st[NRNG]
+                                    m = (lanes >> 3) == ((nr >> 3) & 15)
+                                    rngs[...] = jnp.where(
+                                        m,
+                                        pltpu.repeat(gst[pl.ds(i, 1), :], 16, axis=1),
+                                        rngs[...],
+                                    )
+                                    rngc[...] = jnp.where(
+                                        m,
+                                        pltpu.repeat(gnct[pl.ds(i, 1), :], 16, axis=1),
+                                        rngc[...],
+                                    )
+                                    st[NRNG] = nr + 8
+
+                                    @pl.when(((nr + 8) & 127) == 0)
+                                    def _():
+                                        bulk_ranges()
+
+                                @pl.when(((bits >> 8) & 0xFF) > 0)
+                                def _():
+                                    # pushes: branchless clamped stores -- a
+                                    # non-hit store is overwritten or never read;
+                                    # any store made at cnt >= fcap corrupts and
+                                    # is flagged after the level loop.  Ascending
+                                    # child order keeps near runs mergeable.
+                                    ot = fr[base, i]
+                                    ob = ooff_ref[d + 1] + 8 * (ot - ooff_ref[d])
+                                    obits = (bits >> 8) & 0xFF
+                                    cnt1 = st[FR0 + d + 1]
+                                    for c in range(8):
+                                        hit = (obits >> c) & 1
+                                        fr[
+                                            (d + 1) * fch
+                                            + jnp.minimum(cnt1 >> 7, fch - 1),
+                                            cnt1 & 127,
+                                        ] = ob + c
+                                        cnt1 = cnt1 + hit
+                                    st[FR0 + d + 1] = cnt1
+
+                            return 0
+
+                        lax.fori_loop(0, k_here, sp_loop, 0)
+                        return c0 + 128
+
+                    lax.while_loop(lambda c0: c0 < cnt_d, ch_body, 0)
+
+                for d in range(1, ld + 1):
+
+                    @pl.when(st[FR0 + d] >= fcap)
+                    def _():
+                        st[OVF] = 1
+
+                # drain: staged ranges -> pending -> windows; partial COM row; eval
+                bulk_ranges()
+                flush_pending()
+                st[PEND_S] = 0
+                st[PEND_E] = 0
+
+                @pl.when((st[NSRC] & 127) != 0)
                 def _():
                     flush_com_row()
 
-            @pl.when(valid & ((bits >> 16) > 0) & do_stage)  # -- near ranges --
-            def _(st8_=st8_, ct8=ct8, near8=near8):
-                nr = st[NRNG]
-                m = (lanes >> 3) == ((nr >> 3) & 15)
-                rngs[...] = jnp.where(m, pltpu.repeat(st8_, 16, axis=1), rngs[...])
-                rngc[...] = jnp.where(
-                    m, pltpu.repeat(jnp.where(near8, ct8, 0), 16, axis=1), rngc[...]
-                )
-                st[NRNG] = nr + 8
+                burst()
 
-                @pl.when(((nr + 8) & 127) == 0)
-                def _():
-                    bulk_ranges()
-
-            obits = jnp.where(valid, (bits >> 8) & 0xFF, 0)
-            ob = ooff_ref[d + 1] + 8 * (ot - ooff_ref[d])
-            entry = (d + 1) << _LV_SHIFT
-
-            def push_k(k, sp2, obits=obits, ob=ob, entry=entry):
-                # branchless push: unconditional store + conditional
-                # advance — a skipped child's slot is overwritten by the
-                # next push or never read (sp bounds reads).  Children go
-                # on DESCENDING (7..0) so the LIFO pops them in ASCENDING
-                # Morton order: near ranges from successive pops then
-                # arrive in ascending body order and the contiguous-run
-                # merge (flush_pending s == PEND_E) actually fires.
-                c = 7 - k
-                hit = ((obits >> c) & 1) > 0
-                stack[jnp.minimum(sp2, STACK_CAP - 1)] = entry | (ob + c)
-                return sp2 + jnp.where(hit, 1, 0)
-
-            sp2 = lax.fori_loop(0, 8, push_k, sp2)
-
-        # >= not >: push_k's unconditional store clamps to slot
-        # STACK_CAP-1, so the first store made AT sp2 == STACK_CAP (even a
-        # non-hit one) already clobbers the last valid entry — equality is
-        # corruption, not fullness.
-        @pl.when(sp2 >= STACK_CAP)
-        def _():
-            st[OVF] = 1
-
-        return jnp.minimum(sp2, STACK_CAP)
-
-    @pl.when(gcount_ref[g] > 0)
-    def _():
-        lax.while_loop(pop_cond, pop_body, 1)
-        # drain: staged ranges -> pending -> windows; partial COM row; eval
-        bulk_ranges()
-        flush_pending()
-        st[PEND_S] = 0
-        st[PEND_E] = 0
-
-        @pl.when((st[NSRC] & 127) != 0)
-        def _():
-            flush_com_row()  # unfilled lanes carry gm = 0
-
-        burst()
-
-    axs = jnp.sum(ax[...], axis=1, keepdims=True)
-    ays = jnp.sum(ay[...], axis=1, keepdims=True)
-    azs = jnp.sum(az[...], axis=1, keepdims=True)
-    acc_ref[0] = jnp.transpose(
-        jnp.concatenate([axs, ays, azs, jnp.zeros_like(axs)], axis=1)
-    )
-    # one vector write per program: SMEM stats arrays scale with the
-    # group count and overflow the 1 MB SMEM budget at 10M+ bodies
-    stats_ref[0] = (
-        jnp.where(lanes == S_POPS, st[POPS], 0)
-        + jnp.where(lanes == S_SRC, st[TSRC], 0)
-        + jnp.where(lanes == S_NEAR, st[NNEAR], 0)
-        + jnp.where(lanes == S_OVF, st[OVF], 0)
-    )
+            axs = jnp.sum(ax[...], axis=1, keepdims=True)
+            ays = jnp.sum(ay[...], axis=1, keepdims=True)
+            azs = jnp.sum(az[...], axis=1, keepdims=True)
+            acc_ref[gg] = jnp.transpose(
+                jnp.concatenate([axs, ays, azs, jnp.zeros_like(axs)], axis=1)
+            )
+            # one vector write per program: SMEM stats arrays scale with the
+            # group count and overflow the 1 MB SMEM budget at 10M+ bodies
+            stats_ref[gg] = (
+                jnp.where(lanes == S_POPS, st[POPS], 0)
+                + jnp.where(lanes == S_SRC, st[TSRC], 0)
+                + jnp.where(lanes == S_NEAR, st[NNEAR], 0)
+                + jnp.where(lanes == S_OVF, st[OVF], 0)
+            )
 
 
 def fused_group_forces(
@@ -475,7 +641,8 @@ def fused_group_forces(
     leaf_cap: int,
     ld: int,
     burst_rows: int = 16,
-    pop_batch: int = 1,
+    frontier_cap: int = FRONTIER_CAP,
+    groups_per_program: int = 8,
     interpret: bool = False,
     debug_mode: str = "full",
 ):
@@ -485,7 +652,17 @@ def fused_group_forces(
     returned accelerations are then meaningless."""
     n_groups, _, b = pg.shape
     rb = burst_rows
-    grid = (n_groups,)
+    fcap = -(-int(frontier_cap) // 128) * 128
+    fch = fcap // 128
+    # groups per program: the per-program pipeline overhead is ~150 us on
+    # the tunneled v5e regardless of kernel content (measured, round 3),
+    # so one program handles gpp groups and the fixed cost amortizes.
+    gpp = max(1, min(int(groups_per_program), n_groups))
+    g_pad = -(-n_groups // gpp) * gpp
+    if g_pad != n_groups:
+        pg = jnp.pad(pg, ((0, g_pad - n_groups), (0, 0), (0, 0)))
+        gcount = jnp.pad(gcount, (0, g_pad - n_groups))
+    grid = (g_pad // gpp,)
     kern = functools.partial(
         _fused_kernel,
         theta_sq=float(theta) * float(theta),
@@ -493,7 +670,9 @@ def fused_group_forces(
         leaf_cap=int(leaf_cap),
         ld=int(ld),
         rb=rb,
-        pb=int(pop_batch),
+        fcap=fcap,
+        gpp=gpp,
+        interpret_gather=bool(interpret),
         debug_mode=debug_mode,
     )
     acc, stats = pl.pallas_call(
@@ -503,22 +682,28 @@ def fused_group_forces(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, b), lambda g: (g, 0, 0)),
+            # ft/it stay in HBM (ANY): as VMEM pipeline operands they
+            # were double-buffered (2 x 7.2 MB, VMEM OOM at ld=6 with
+            # multi-group blocks) and re-fetched per grid step — measured
+            # ~150 us/program of pure overhead (the round-2 "pop floor").
+            # The BFS gather DMAs exactly the frontier's rows instead.
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((gpp, 4, b), lambda g: (g, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, 4, b), lambda g: (g, 0, 0)),
-            pl.BlockSpec((1, 1, 128), lambda g: (g, 0, 0)),
+            pl.BlockSpec((gpp, 4, b), lambda g: (g, 0, 0)),
+            pl.BlockSpec((gpp, 1, 128), lambda g: (g, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_groups, 4, b), jnp.float32),
-            jax.ShapeDtypeStruct((n_groups, 1, 128), jnp.int32),
+            jax.ShapeDtypeStruct((g_pad, 4, b), jnp.float32),
+            jax.ShapeDtypeStruct((g_pad, 1, 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.SMEM((16,), jnp.int32),
-            pltpu.SMEM((STACK_CAP,), jnp.int32),
+            pltpu.SMEM((32,), jnp.int32),
+            pltpu.SMEM(((int(ld) + 1) * fch, 128), jnp.int32),
+            pltpu.SMEM((1, 128), jnp.int32),
             pltpu.SMEM((rb, 4), jnp.int32),
             pltpu.SMEM((2, 128), jnp.int32),
             pltpu.VMEM((4, 128), jnp.float32),
@@ -528,15 +713,27 @@ def fused_group_forces(
             pltpu.VMEM((b, 128), jnp.float32),
             pltpu.VMEM((b, 128), jnp.float32),
             pltpu.VMEM((b, 128), jnp.float32),
+            pltpu.VMEM((128, 128), jnp.float32),
+            pltpu.VMEM((128, 128), jnp.int32),
+            pltpu.VMEM((128, 8), jnp.float32),
+            pltpu.VMEM((128, 8), jnp.float32),
+            pltpu.VMEM((128, 8), jnp.float32),
+            pltpu.VMEM((128, 8), jnp.float32),
+            pltpu.VMEM((128, 8), jnp.int32),
+            pltpu.VMEM((128, 8), jnp.int32),
+            pltpu.VMEM((1, 128), jnp.int32),
+            pltpu.VMEM((1, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((128,)),
+            pltpu.SemaphoreType.DMA((128,)),
             pltpu.SemaphoreType.DMA((rb,)),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((5,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(gcount, bsq, ooff, ft, it, pg, ps)
-    return acc[:, :3, :], stats[:, 0, :8]
+    return acc[:n_groups, :3, :], stats[:n_groups, 0, :8]
 
 
 def aux_octet_offsets():
@@ -659,13 +856,21 @@ def barneshut_fused(
         debug_mode=debug_mode,
     )
 
-    dest = jnp.where(group_valid, group_idx, n)  # n -> dropped
-    acc_s = (
-        jnp.zeros((n, 3), jnp.float32)
-        .at[dest.reshape(-1)]
-        .set(jnp.transpose(acc_g, (0, 2, 1)).reshape(-1, 3), mode="drop")
+    # ONE composed scatter group-layout -> original order: the round-2
+    # two-hop (scatter to sorted order, then scatter through perm) paid
+    # two operand-proportional scatters (~155 ms at 1M, tools/profile_bh);
+    # composing the permutations replaces one of them with a cheap 1-D
+    # gather.  Valid slots have disjoint destinations (group ranges are
+    # disjoint in sorted order, perm is a bijection).
+    final_dest = jnp.where(
+        group_valid, perm[jnp.clip(group_idx, 0, n - 1)], n
     )
-    acc = jnp.zeros((n, 3), jnp.float32).at[perm].set(acc_s).astype(dtype)
+    acc = (
+        jnp.zeros((n, 3), jnp.float32)
+        .at[final_dest.reshape(-1)]
+        .set(jnp.transpose(acc_g, (0, 2, 1)).reshape(-1, 3), mode="drop")
+        .astype(dtype)
+    )
 
     if return_stats:
         return acc, {

@@ -1,10 +1,12 @@
 #!/usr/bin/env python
 """Hardware cost bisection of the fused traversal kernel's stages.
 
-Runs the REAL kernel (not a mock) at each debug_mode cut — "pops" (DFS +
-8-wide classify only), "stage" (+ COM/range staging, row allocation, VMEM
-copies), "dma" (+ HBM near-window DMAs and waits), "full" (+ the (B,128)
-eval math) — so each increment prices one mechanism on silicon.  The
+Runs the REAL kernel (not a mock) at each debug_mode cut — "none" (the
+XLA pre/post phases + block pipeline only: sort, grid build, grouping,
+scatter-back, with a dummy kernel body), "pops" (+ BFS frontier
+traversal and classify), "stage" (+ COM/range staging, row allocation,
+VMEM copies), "dma" (+ HBM near-window DMAs and waits), "full" (+ the
+(B,128) eval math) — so each increment prices one mechanism on silicon.  The
 production kernel is unchanged: non-"full" branches are static and trace
 away.  Companion of tools/mb_kernel.py (which bisected the pop loop the
 same way before the kernel existed).
@@ -45,7 +47,7 @@ def main() -> None:
     import functools
 
     prev = None
-    for mode in ("pops", "stage", "dma", "full"):
+    for mode in ("none", "pops", "stage", "dma", "full"):
         fn = jax.jit(
             functools.partial(
                 bf.barneshut_fused, interpret=interpret, debug_mode=mode
