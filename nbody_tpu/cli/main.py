@@ -77,6 +77,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="shard i-bodies over all visible devices (multi-chip)",
     )
     p.add_argument(
+        "--jstream",
+        choices=["auto", "gather", "ring"],
+        default="auto",
+        help="sharded all-pairs j-side streaming: all_gather (O(N)/chip "
+        "memory) or ppermute ring (O(N/P)/chip); auto picks ring above "
+        "2M bodies",
+    )
+    p.add_argument(
         "--energy",
         action="store_true",
         help="print KE/PE before and after and the relative energy drift",
@@ -239,7 +247,7 @@ def build_force_fn(args, n: int):
                 rect = partial(
                     rect_accelerations, G=args.G, softening_sq=args.softening2
                 )
-            force = shard_force_fn(rect)
+            force = shard_force_fn(rect, jstream=args.jstream)
         elif backend == "pallas":
             from nbody_tpu.ops.pallas_exhaustive import pallas_accelerations
 

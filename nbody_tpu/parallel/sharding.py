@@ -64,24 +64,61 @@ def shard_bodies(bodies: Bodies, mesh=None, multiple: int = 1) -> Bodies:
     )
 
 
+# Above this many bodies the all_gathered j-side (16 bytes/body planar +
+# gather scratch) stops being noise next to HBM's ~16 GB; the ring keeps
+# per-chip memory O(N/P) at the cost of P rectangular evals per step.
+RING_THRESHOLD = 2_000_000
+
+
 def shard_force_fn(
     rect_fn: Optional[RectForceFn] = None,
     mesh=None,
     axis_name: str = BODY_AXIS,
+    *,
+    jstream: str = "auto",
 ):
     """Wrap a rectangular force into a sharded (pos, mass) -> acc ForceFn.
 
-    Inside shard_map each chip holds its i-shard, all_gathers the j-side
-    over ICI, and evaluates its rows of the interaction matrix.
+    Inside shard_map each chip holds its i-shard and evaluates its rows of
+    the interaction matrix against the full j-side, streamed one of two
+    ways (SURVEY.md §5: "all_gather or ring permute for memory-bound
+    sizes"):
+
+    * ``jstream="gather"``: one all_gather materializes all N j-bodies per
+      chip — minimal latency, per-chip memory O(N).
+    * ``jstream="ring"``: the j-side stays sharded; P-1 `ppermute` hops
+      rotate each shard around the ICI ring while every chip accumulates
+      the rectangular block it currently holds — per-chip memory O(N/P),
+      the TPU analog of the reference's shared-memory j-tile streaming
+      loop (cuda/exhaustive.cu:303-331) lifted to the mesh level.  Each
+      hop moves only 16 N/P bytes over one ICI link, and XLA overlaps the
+      collective-permute with the previous block's force math.
+    * ``jstream="auto"``: ring above RING_THRESHOLD bodies, gather below.
     """
     mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
     if rect_fn is None:
         rect_fn = default_rect_fn()
 
     def local(pos_l, mass_l):
-        pos_all = lax.all_gather(pos_l, axis_name, axis=0, tiled=True)
-        mass_all = lax.all_gather(mass_l, axis_name, axis=0, tiled=True)
-        return rect_fn(pos_l, pos_all, mass_all)
+        n = pos_l.shape[0] * n_dev
+        mode = jstream
+        if mode == "auto":
+            mode = "ring" if n >= RING_THRESHOLD else "gather"
+        if mode == "gather" or n_dev == 1:
+            pos_all = lax.all_gather(pos_l, axis_name, axis=0, tiled=True)
+            mass_all = lax.all_gather(mass_l, axis_name, axis=0, tiled=True)
+            return rect_fn(pos_l, pos_all, mass_all)
+        ring = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        pos_j, mass_j = pos_l, mass_l
+        acc = None
+        for k in range(n_dev):
+            blk = rect_fn(pos_l, pos_j, mass_j)
+            acc = blk if acc is None else acc + blk
+            if k + 1 < n_dev:
+                pos_j = lax.ppermute(pos_j, axis_name, ring)
+                mass_j = lax.ppermute(mass_j, axis_name, ring)
+        return acc
 
     return jax.jit(
         jax.shard_map(

@@ -34,6 +34,23 @@ import pytest  # noqa: E402
 DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute configs (1M-body envelope); skipped unless a "
+        "-m marker expression opts in (e.g. -m slow)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("-m"):
+        return  # explicit marker expression: let pytest handle selection
+    skip = pytest.mark.skip(reason="slow: opt in with -m slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def data_dir() -> str:
     return DATA_DIR

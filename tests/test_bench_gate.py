@@ -33,11 +33,12 @@ def test_record_well_formed():
     for r in recs:
         assert r["algo"] in ("exhaustive", "barnes-hut")
         assert r["n"] >= 1000 and r["value"] > 0 and r["unit"] == "s/step"
-        if r["vs_baseline"] is not None and r["n"] >= 10_000:
-            # the point of the framework: never slower than the reference
-            # at scale.  (Below 10k bodies a multicore CPU's sub-ms steps
-            # can win on latency — batch devices amortize, they don't
-            # race; the records still track those sizes.)
+        if r["vs_baseline"] is not None:
+            # the point of the framework: never slower than the reference,
+            # at ANY size in its own table.  (Round 3 removed the n<10k
+            # carve-out: with the reference's own per-size step counts —
+            # 1000 iterations at 1k, not 16 — the dispatch cost amortizes
+            # and every row wins, tools/bench_grid.py REF_STEPS.)
             assert r["vs_baseline"] > 1.0, (
                 f"recorded config {r['algo']}/{r['n']} is slower than the "
                 f"reference best ({r['vs_baseline']:.2f}x)"
@@ -56,7 +57,29 @@ def test_perf_envelope_on_tpu():
 
     for r in _load_record():
         if r["n"] > 200_000:
-            continue  # keep the gate fast; 1M is the driver bench's job
+            continue  # fast gate; the 1M rows run under -m slow below
+        sec = bench_config(r["algo"], r["n"], reps=2)
+        assert sec < r["value"] * ENVELOPE, (
+            f"{r['algo']}/{r['n']} regressed: {sec:.4f}s vs recorded "
+            f"{r['value']:.4f}s (envelope {ENVELOPE}x)"
+        )
+
+
+@pytest.mark.slow
+def test_perf_envelope_on_tpu_1m():
+    """The 1M rows of the grid, multi-minute: opt in with -m slow."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("perf envelope is only meaningful on the real chip")
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from bench_grid import bench_config
+
+    for r in _load_record():
+        if r["n"] <= 200_000:
+            continue
         sec = bench_config(r["algo"], r["n"], reps=2)
         assert sec < r["value"] * ENVELOPE, (
             f"{r['algo']}/{r['n']} regressed: {sec:.4f}s vs recorded "

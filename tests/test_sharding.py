@@ -61,6 +61,31 @@ def test_shard_bodies_pads_inert(mesh):
     np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
 
 
+def test_ring_force_matches_single_device(mesh):
+    """jstream="ring" (per-chip O(N/P) memory) computes the same forces."""
+    arr = random_cloud(256, seed=1)
+    pos = jnp.asarray(arr[:, :3], jnp.float64)
+    mass = jnp.asarray(arr[:, 6], jnp.float64)
+    want = np.asarray(direct_accelerations(pos, mass))
+    force = shard_force_fn(rect_accelerations, mesh=mesh, jstream="ring")
+    got = np.asarray(force(pos, mass))
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+def test_ring_simulation_parity_vs_gather(mesh):
+    """20 KDK steps through the ring and gather j-streams agree (fp64:
+    the only difference is the block summation order)."""
+    arr = random_cloud(128, seed=5)
+    b = shard_bodies(Bodies.from_numpy(arr, dtype=jnp.float64), mesh=mesh)
+    f_ring = shard_force_fn(rect_accelerations, mesh=mesh, jstream="ring")
+    f_gath = shard_force_fn(rect_accelerations, mesh=mesh, jstream="gather")
+    out_r, _ = leapfrog_steps(b, 20, 0.01, f_ring)
+    out_g, _ = leapfrog_steps(b, 20, 0.01, f_gath)
+    np.testing.assert_allclose(
+        np.asarray(out_r.pos), np.asarray(out_g.pos), rtol=1e-9, atol=1e-11
+    )
+
+
 def test_sharded_energy_matches_oracle(mesh):
     arr = random_cloud(128, seed=4)
     ke_o, pe_o = oracle.energy(arr[:, :3], arr[:, 3:6], arr[:, 6])

@@ -42,8 +42,19 @@ REF_BEST = {
 }
 
 
-def bench_config(algo: str, n: int, reps: int = 3, steps: int = 16):
-    """Best seconds per step over a `steps`-step KDK scan.
+# The reference ran each size for a fixed iteration count
+# (tests_result.txt "N test M iterazioni": 1k x 1000, 10k x 100,
+# 100k x 10, 1M x 10) and reported wall / iterations.  Use the SAME
+# step counts: at small N the whole-run wall is dominated by the one
+# host->device dispatch (~27 ms here), and a shorter scan would charge
+# that fixed cost to too few steps (round-2's 16-step grid did exactly
+# that, recording 2.3 ms/step at 1k where a 1000-step run measures
+# 0.035 ms/step).
+REF_STEPS = {1_000: 1000, 10_000: 100, 100_000: 10, 1_000_000: 10}
+
+
+def bench_config(algo: str, n: int, reps: int = 3, steps: int = 0):
+    """Best seconds per step over a KDK scan of the reference's step count.
 
     The reference's grid numbers are whole-run wall / steps
     (tests_result.txt "N test M iterazioni"), so per-step cost is
@@ -51,6 +62,8 @@ def bench_config(algo: str, n: int, reps: int = 3, steps: int = 16):
     per step — matching their accounting (and production use).  Single
     isolated force evals additionally pay the ~27 ms host->device
     dispatch round-trip of this environment, which the scan amortizes."""
+    if steps == 0:
+        steps = REF_STEPS.get(n, 16)
     import jax
     import jax.numpy as jnp
 
