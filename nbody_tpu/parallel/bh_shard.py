@@ -75,6 +75,12 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# Above this many bodies the all_gathered planar source array stops being
+# noise next to HBM (16 bytes/body/chip); the Morton-halo exchange
+# (parallel/bh_halo.py) keeps per-chip memory O(N/P + halo) instead.
+HALO_THRESHOLD = 4_000_000
+
+
 def fused_shard_force_fn(
     mesh=None,
     axis_name: str = BODY_AXIS,
@@ -87,14 +93,23 @@ def fused_shard_force_fn(
     samples_per_chip: int = 32,
     bucket_frac: float = 2.5,
     burst_rows: int = 16,
+    halo: bool | None = None,
+    halo_cap: int = 0,
     interpret: bool | None = None,
     return_stats: bool = False,
 ):
     """Sharded Barnes-Hut ForceFn: (pos, mass) sharded on axis 0 -> acc.
 
+    `halo` selects the near-field source exchange: False all_gathers the
+    planar slots (per-chip O(N) memory), True runs the Morton-halo
+    exchange (parallel/bh_halo.py, per-chip O(N/P + halo)); None picks
+    halo above HALO_THRESHOLD bodies.  `halo_cap` is the per-chip-pair
+    slot capacity (0 = auto), runtime-overflow-checked.
+
     With return_stats=True returns (acc, stats) where stats is a dict of
     replicated scalars: bucket_overflow / trimmed_groups / stack_overflow
-    must all be 0 for exact forces (see check_sharded_fused)."""
+    / halo_overflow must all be 0 for exact forces (see
+    check_sharded_fused)."""
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
     if interpret is None:
@@ -238,7 +253,47 @@ def fused_shard_force_fn(
         )
 
         ps_l = myf.T  # (4, C_own); pads carry gm = 0, finite coords
-        ps = lax.all_gather(ps_l, axis_name, axis=1, tiled=True)
+        use_halo = halo if halo is not None else (N >= HALO_THRESHOLD)
+        halo_ovf = jnp.int32(0)
+        if use_halo and n_dev > 1:
+            from nbody_tpu.parallel import bh_halo
+
+            h_cap = halo_cap or _round_up(max(256, C_own // 8), 128)
+            aabbs = bh_halo.chip_aabbs(myf[:, :3], real, axis_name)
+            span_all = tree.cnt[0]
+            start_all = tree.start[0]
+            flags = bh_halo.halo_flags(
+                span_all, border.astype(jnp.float32), theta, leaf_cap,
+                ld, aabbs,
+            )
+            plan = bh_halo.halo_plan(start_all, span_all, flags, C_own, h_cap)
+            slots = plan["send_slots"](k)  # (P, H) global, dst-major
+            okr = (
+                jnp.arange(h_cap, dtype=jnp.int32)[None, :]
+                < plan["counts"][:, k][:, None]
+            )
+            lsl = jnp.clip(slots - k * C_own, 0, C_own - 1)
+            send = jnp.where(okr[:, None, :], ps_l[:, lsl].transpose(1, 0, 2), 0.0)
+            if n_dev > 1:
+                recv = lax.all_to_all(
+                    send, axis_name, split_axis=0, concat_axis=0
+                )
+            else:
+                recv = send
+            ps = jnp.concatenate(
+                [ps_l, recv.transpose(1, 0, 2).reshape(4, n_dev * h_cap)],
+                axis=1,
+            )
+            new_start = bh_halo.rewrite_starts(
+                start_all, span_all, flags, plan["packed"],
+                plan["counts"], k, C_own, h_cap,
+            )
+            from nbody_tpu.ops.bh_fused import pack_it
+
+            it = pack_it(tree._replace(start=new_start[None, :]), ld)
+            halo_ovf = lax.pmax(jnp.maximum(plan["overflow"], 0), axis_name)
+        else:
+            ps = lax.all_gather(ps_l, axis_name, axis=1, tiled=True)
 
         lev = jnp.arange(16, dtype=jnp.float32)
         bsq = (border.astype(jnp.float32) / jnp.exp2(lev)) ** 2
@@ -258,7 +313,9 @@ def fused_shard_force_fn(
         # immediately in positions, energy and --debug-nans.
         # check_sharded_fused remains the fail-fast probe at startup.
         acc_g = jnp.where(
-            (bucket_overflow > 0) | (trimmed > 0), jnp.float32(jnp.nan), acc_g
+            (bucket_overflow > 0) | (trimmed > 0) | (halo_ovf > 0),
+            jnp.float32(jnp.nan),
+            acc_g,
         )
 
         # 7. route accelerations back to the original sharding -----------
@@ -291,13 +348,15 @@ def fused_shard_force_fn(
             "near_bodies": lax.psum(
                 jnp.sum(kstats[:, 2]), axis_name
             ).reshape(()),
+            "halo_overflow": halo_ovf.reshape(()),
         }
         return out, stats
 
     out_specs = (
         (P(axis_name, None), {k: P() for k in
                               ("bucket_overflow", "trimmed_groups",
-                               "stack_overflow", "near_bodies")})
+                               "stack_overflow", "near_bodies",
+                               "halo_overflow")})
         if return_stats
         else P(axis_name, None)
     )
@@ -320,13 +379,16 @@ def check_sharded_fused(bodies, mesh=None, **kw):
     _, stats = fn(bodies.pos, bodies.mass)
     bad = {
         name: int(stats[name])
-        for name in ("bucket_overflow", "trimmed_groups", "stack_overflow")
+        for name in ("bucket_overflow", "trimmed_groups", "stack_overflow",
+                     "halo_overflow")
         if int(stats[name]) > 0
     }
     if bad:
         raise CapacityError(
             f"sharded fused Barnes-Hut capacity overflow: {bad}; rerun "
-            "with a larger --bh-group-size or bucket_frac"
+            "with a larger --bh-group-size, bucket_frac, or halo_cap "
+            "(halo_overflow reports how many slots past the current "
+            "capacity the worst chip pair needs)"
         )
     return stats
 

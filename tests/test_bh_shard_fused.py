@@ -116,6 +116,76 @@ def test_sharded_fused_clustered(mesh):
     assert err < 0.02, err
 
 
+def test_halo_matches_gather(mesh):
+    """halo=True (per-chip O(N/P + halo) memory) must produce the SAME
+    forces as the all_gather path: the kernel evaluates identical values
+    from relocated slots, so only theta-independent noise is allowed."""
+    n = 1024
+    pos, vel, mass = _cloud(n, seed=31)
+    bodies = shard_bodies(Bodies(pos, vel, mass), mesh=mesh)
+    f_halo = fused_shard_force_fn(
+        mesh=mesh, G=G, softening_sq=EPS2, theta=0.5, group_size=128,
+        halo=True, return_stats=True,
+    )
+    f_gath = fused_shard_force_fn(
+        mesh=mesh, G=G, softening_sq=EPS2, theta=0.5, group_size=128,
+        halo=False,
+    )
+    acc_h, stats = f_halo(bodies.pos, bodies.mass)
+    assert int(stats["halo_overflow"]) == 0
+    acc_g = np.asarray(f_gath(bodies.pos, bodies.mass))
+    np.testing.assert_allclose(
+        np.asarray(acc_h), acc_g, rtol=1e-5, atol=1e-6
+    )
+
+
+def test_halo_clustered_matches_gather(mesh):
+    """Clustered input (over-full terminal cells shipped exactly, uneven
+    chip AABBs, cross-boundary near fields) through the halo exchange."""
+    rng = np.random.default_rng(37)
+    n = 1024
+    half = n // 2
+    a = rng.normal([-1.5, 0, 0], 0.03, size=(half, 3))
+    c = rng.normal([1.5, 0, 0], 0.03, size=(n - half, 3))
+    pos = jnp.asarray(np.vstack([a, c]), jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.04, 1.0, n), jnp.float32)
+    bodies = shard_bodies(
+        Bodies(pos, jnp.zeros((n, 3), jnp.float32), mass), mesh=mesh
+    )
+    f_halo = fused_shard_force_fn(
+        mesh=mesh, G=G, softening_sq=EPS2, theta=0.5, group_size=128,
+        bucket_frac=8.0, halo=True, return_stats=True,
+    )
+    f_gath = fused_shard_force_fn(
+        mesh=mesh, G=G, softening_sq=EPS2, theta=0.5, group_size=128,
+        bucket_frac=8.0, halo=False,
+    )
+    acc_h, stats = f_halo(bodies.pos, bodies.mass)
+    assert int(stats["halo_overflow"]) == 0
+    acc_g = np.asarray(f_gath(bodies.pos, bodies.mass))
+    # not bitwise: near-field runs merge differently across the packed
+    # segment boundaries, reordering the f32 lane accumulation (measured
+    # 2/3072 lanes at ~9e-5 rel); a genuinely dropped source in a
+    # 0.03-sigma cluster would be orders of magnitude louder
+    np.testing.assert_allclose(
+        np.asarray(acc_h), acc_g, rtol=5e-4, atol=1e-5
+    )
+
+
+def test_halo_overflow_detected(mesh):
+    """An undersized halo_cap must flag, never silently drop sources."""
+    n = 1024
+    pos, vel, mass = _cloud(n, seed=41)
+    bodies = shard_bodies(Bodies(pos, vel, mass), mesh=mesh)
+    f = fused_shard_force_fn(
+        mesh=mesh, G=G, softening_sq=EPS2, theta=0.5, group_size=128,
+        halo=True, halo_cap=128, return_stats=True,
+    )
+    acc, stats = f(bodies.pos, bodies.mass)
+    assert int(stats["halo_overflow"]) > 0
+    assert not np.isfinite(np.asarray(acc)).all()  # NaN-poisoned
+
+
 def test_sharded_fused_in_leapfrog(mesh):
     """One KDK step end-to-end with the sharded force (the production
     wiring: shard_bodies + leapfrog_steps)."""
