@@ -139,6 +139,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bh-list-size", type=int, default=0,
                    help="Barnes-Hut per-group source-list capacity (0 = auto)")
     p.add_argument(
+        "--bh-keep-groups", type=int, default=0,
+        help="fused Barnes-Hut group slot capacity (0 = HBM-budget auto, "
+        "core/capacity.py — the analog of the reference's free-VRAM node "
+        "pool, cuda/barnes-hut.cu:886-890; capacity errors prescribe the "
+        "exact value that fits)")
+    p.add_argument(
+        "--bh-frontier-cap", type=int, default=0,
+        help="fused Barnes-Hut BFS frontier octets per level (0 = auto; "
+        "overflow errors prescribe the measured value needed)")
+    p.add_argument(
+        "--bucket-frac", type=float, default=0.0,
+        help="sharded Barnes-Hut Morton-bucket capacity factor (0 = auto "
+        "2.5; overflow errors prescribe the value the worst bucket needs)")
+    p.add_argument(
+        "--halo-cap", type=int, default=0,
+        help="sharded fused Barnes-Hut halo slots per chip pair (0 = "
+        "auto; overflow errors prescribe the value the worst pair needs)")
+    p.add_argument(
         "--resort-every",
         type=int,
         default=0,
@@ -205,6 +223,30 @@ def _bh_kwargs(args) -> dict:
     return bh_kw
 
 
+def _fused_kwargs(args) -> dict:
+    """Knobs accepted by the fused traversal paths (0 = auto, omitted)."""
+    kw = {
+        k: v
+        for k, v in _bh_kwargs(args).items()
+        if k in ("group_size", "leaf_cap")
+    }
+    if getattr(args, "bh_keep_groups", 0):
+        kw["keep_groups"] = args.bh_keep_groups
+    if getattr(args, "bh_frontier_cap", 0):
+        kw["frontier_cap"] = args.bh_frontier_cap
+    return kw
+
+
+def _shard_fused_kwargs(args) -> dict:
+    """_fused_kwargs plus the sharded pipeline's exchange capacities."""
+    kw = _fused_kwargs(args)
+    if getattr(args, "bucket_frac", 0):
+        kw["bucket_frac"] = args.bucket_frac
+    if getattr(args, "halo_cap", 0):
+        kw["halo_cap"] = args.halo_cap
+    return kw
+
+
 def build_force_fn(args, n: int):
     """Pick the force implementation: algorithm x backend x sharding."""
     import jax
@@ -266,7 +308,23 @@ def build_force_fn(args, n: int):
     else:
         traversal = getattr(args, "bh_traversal", "auto")
         if traversal == "auto":
-            traversal = "fused" if backend == "pallas" else "flat"
+            # Sharded runs default to the Morton-range-sharded fused
+            # pipeline on every backend (off-TPU via the Pallas
+            # interpreter): the flat fallback replicates the build on
+            # every chip — O(N log N) compute and O(N) memory per chip —
+            # and must be an explicit opt-in (--bh-traversal flat).
+            traversal = (
+                "fused" if (backend == "pallas" or args.shard) else "flat"
+            )
+        elif args.shard and traversal != "fused":
+            print(
+                "warning: --bh-traversal "
+                f"{traversal} with --shard uses the replicated-build "
+                "fallback (full tree per chip: O(N) memory, O(N log N) "
+                "build per chip); the Morton-range-sharded pipeline is "
+                "--bh-traversal fused",
+                file=sys.stderr,
+            )
         if args.shard and traversal == "fused":
             # Morton-range-sharded pipeline: distributed sort + psum'd grid
             # build + per-chip fused traversal (parallel/bh_shard.py)
@@ -276,8 +334,7 @@ def build_force_fn(args, n: int):
                 G=args.G,
                 softening_sq=args.softening2,
                 theta=args.theta,
-                **{k: v for k, v in bh_kw.items()
-                   if k in ("group_size", "leaf_cap")},
+                **_shard_fused_kwargs(args),
             )
             backend = f"{backend}/fused"
         elif args.shard:
@@ -292,9 +349,7 @@ def build_force_fn(args, n: int):
         elif traversal == "fused":
             from nbody_tpu.ops.bh_fused import barneshut_fused
 
-            fused_kw = {
-                k: v for k, v in bh_kw.items() if k in ("group_size", "leaf_cap")
-            }
+            fused_kw = _fused_kwargs(args)
             force = partial(
                 barneshut_fused,
                 G=args.G,
@@ -395,7 +450,6 @@ def main(argv=None) -> int:
 
                 from nbody_tpu.ops.bh_fused import check_fused
 
-                bh_kw = _bh_kwargs(args)
                 check_fused(
                     bodies.pos,
                     bodies.mass,
@@ -403,8 +457,7 @@ def main(argv=None) -> int:
                     softening_sq=args.softening2,
                     theta=args.theta,
                     interpret=_jax.default_backend() == "cpu",
-                    **{k: v for k, v in bh_kw.items()
-                       if k in ("group_size", "leaf_cap")},
+                    **_fused_kwargs(args),
                 )
             else:
                 check_capacities(
@@ -465,15 +518,13 @@ def main(argv=None) -> int:
             from nbody_tpu.ops.barneshut import CapacityError
             from nbody_tpu.parallel.bh_shard import check_sharded_fused
 
-            bh_kw = _bh_kwargs(args)
             try:
                 check_sharded_fused(
                     bodies,
                     G=args.G,
                     softening_sq=args.softening2,
                     theta=args.theta,
-                    **{k: v for k, v in bh_kw.items()
-                       if k in ("group_size", "leaf_cap")},
+                    **_shard_fused_kwargs(args),
                 )
             except CapacityError as e:
                 print(f"error: {e}", file=sys.stderr)
@@ -601,7 +652,6 @@ def main(argv=None) -> int:
                 simulate_persistent_sharded,
             )
 
-            bh_kw = _bh_kwargs(args)
             try:
                 p_out, v_out = simulate_persistent_sharded(
                     bodies, n_steps, dt,
@@ -614,8 +664,8 @@ def main(argv=None) -> int:
                     checkpoint_fn=checkpoint_fn,
                     progress_every=args.progress,
                     progress_fn=progress_fn,
-                    **{k: v for k, v in bh_kw.items()
-                       if k in ("group_size", "leaf_cap")},
+                    **{k: v for k, v in _shard_fused_kwargs(args).items()
+                       if k in ("group_size", "leaf_cap", "bucket_frac")},
                 )
             except CapacityError as e:
                 print(f"error: {e}", file=sys.stderr)

@@ -594,10 +594,15 @@ def _fused_kernel(
                     lax.while_loop(lambda c0: c0 < cnt_d, ch_body, 0)
 
                 for d in range(1, ld + 1):
+                    # record the NEEDED frontier size, not a flag: the
+                    # counter free-runs past fcap (stores are clamped), so
+                    # the fail-fast probe can prescribe the exact
+                    # --bh-frontier-cap that fits (lower bound once a
+                    # level has corrupted, hence "at least" in messages)
 
                     @pl.when(st[FR0 + d] >= fcap)
                     def _():
-                        st[OVF] = 1
+                        st[OVF] = jnp.maximum(st[OVF], st[FR0 + d])
 
                 # drain: staged ranges -> pending -> windows; partial COM row; eval
                 bulk_ranges()
@@ -771,6 +776,8 @@ def auto_ld(n: int) -> int:
         "leaf_cap",
         "group_size",
         "burst_rows",
+        "keep_groups",
+        "frontier_cap",
         "interpret",
         "return_stats",
         "debug_mode",
@@ -787,6 +794,8 @@ def barneshut_fused(
     leaf_cap: int = 64,
     group_size: int = 1024,
     burst_rows: int = 16,
+    keep_groups: int = 0,
+    frontier_cap: int = 0,
     interpret: bool = False,
     return_stats: bool = False,
     debug_mode: str = "full",
@@ -817,7 +826,19 @@ def barneshut_fused(
     gstart, gcount, group_idx, group_valid = group_bodies(
         keys_s, n, depth, b, sl
     )
-    keep = min(gstart.shape[0], 3 * (n // b) + 256)
+    # HBM-budget-aware group capacity + predictive fit check (the TPU
+    # analog of the reference's free-VRAM pool sizing,
+    # cuda/barnes-hut.cu:886-890 — see core/capacity.py for the contract)
+    from nbody_tpu.core import capacity as _cap
+
+    budget = _cap.budget_bytes()
+    keep = keep_groups or _cap.auto_keep(n, b, gstart.shape[0], budget)
+    keep = min(keep, gstart.shape[0])
+    _cap.ensure_fits(
+        _cap.estimate_fused_bytes(n, b, keep, ld),
+        f"fused Barnes-Hut at n={n}",
+        budget=budget,
+    )
     gstart, gcount, group_idx, group_valid, trimmed = compact_groups(
         gstart, gcount, group_idx, group_valid, keep
     )
@@ -852,6 +873,7 @@ def barneshut_fused(
         leaf_cap=leaf_cap,
         ld=ld,
         burst_rows=burst_rows,
+        frontier_cap=frontier_cap or FRONTIER_CAP,
         interpret=interpret,
         debug_mode=debug_mode,
     )
@@ -877,7 +899,7 @@ def barneshut_fused(
             "pops": jnp.sum(stats[:, S_POPS]),
             "staged_sources": jnp.sum(stats[:, S_SRC]),
             "near_bodies": jnp.sum(stats[:, S_NEAR]),
-            "stack_overflow": jnp.max(stats[:, S_OVF]),
+            "frontier_overflow": jnp.max(stats[:, S_OVF]),
             "trimmed_groups": trimmed,
         }
     return acc
@@ -886,17 +908,36 @@ def barneshut_fused(
 def check_fused(pos, mass, **kw):
     """Fail-fast probe for the fused path (the analog of
     barneshut.check_capacities): one force eval, raising CapacityError if
-    the DFS stack overflowed or occupied groups were trimmed — the only
+    the BFS frontier overflowed or occupied groups were trimmed — the only
     two static capacities this path has (there are no interaction lists).
+    The overflow stats carry the MEASURED requirement, so the message
+    prescribes the exact flag value that fits (the TPU counterpart of the
+    reference's free-VRAM pool sizing, cuda/barnes-hut.cu:886-890).
     Returns the stats dict."""
+    from nbody_tpu.core import capacity as _cap
     from nbody_tpu.ops.barneshut import CapacityError
 
     _, stats = barneshut_fused(pos, mass, return_stats=True, **kw)
-    if int(stats["stack_overflow"]) > 0 or int(stats["trimmed_groups"]) > 0:
+    fovf = int(stats["frontier_overflow"])
+    trimmed = int(stats["trimmed_groups"])
+    fixes = []
+    if fovf > 0:
+        need = -(-max(fovf + 1, FRONTIER_CAP) // 128) * 128
+        fixes.append(
+            f"frontier overflow (a level needed >= {fovf} octets): pass "
+            f"--bh-frontier-cap {need}"
+        )
+    if trimmed > 0:
+        b = kw.get("group_size", 1024)
+        keep = kw.get("keep_groups", 0) or _cap.auto_keep(
+            pos.shape[0], b, 10**9, _cap.budget_bytes()
+        )
+        fixes.append(
+            f"{trimmed} occupied groups trimmed: pass "
+            f"--bh-keep-groups {keep + trimmed}"
+        )
+    if fixes:
         raise CapacityError(
-            "fused Barnes-Hut capacity overflow: "
-            f"stack_overflow={int(stats['stack_overflow'])}, "
-            f"trimmed_groups={int(stats['trimmed_groups'])}; rerun with a "
-            "larger --bh-group-size or the flat traversal"
+            "fused Barnes-Hut capacity overflow: " + "; ".join(fixes)
         )
     return stats

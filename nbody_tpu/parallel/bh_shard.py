@@ -57,6 +57,7 @@ from jax.sharding import PartitionSpec as P
 from nbody_tpu.core import constants
 from nbody_tpu.ops.barneshut import CapacityError
 from nbody_tpu.ops.bh_fused import (
+    FRONTIER_CAP,
     auto_ld,
     auto_split_level,
     aux_octet_offsets,
@@ -95,6 +96,8 @@ def fused_shard_force_fn(
     burst_rows: int = 16,
     halo: bool | None = None,
     halo_cap: int = 0,
+    keep_groups: int = 0,
+    frontier_cap: int = 0,
     interpret: bool | None = None,
     return_stats: bool = False,
 ):
@@ -107,7 +110,7 @@ def fused_shard_force_fn(
     slot capacity (0 = auto), runtime-overflow-checked.
 
     With return_stats=True returns (acc, stats) where stats is a dict of
-    replicated scalars: bucket_overflow / trimmed_groups / stack_overflow
+    replicated scalars: bucket_overflow / trimmed_groups / frontier_overflow
     / halo_overflow must all be 0 for exact forces (see
     check_sharded_fused)."""
     mesh = mesh or make_mesh()
@@ -240,7 +243,12 @@ def fused_shard_force_fn(
             0,
             C_own - 1,
         )
-        keep = min(gstart.shape[0], 3 * (C_own // b) + 256)
+        from nbody_tpu.core import capacity as _cap
+
+        keep = keep_groups or _cap.auto_keep(
+            C_own, b, gstart.shape[0], _cap.budget_bytes()
+        )
+        keep = min(keep, gstart.shape[0])
         gstart, gcount, group_idx, group_valid, trimmed = compact_groups(
             gstart, gcount, group_idx, group_valid, keep
         )
@@ -303,6 +311,7 @@ def fused_shard_force_fn(
             gcount, pg, ft, it, ps, bsq, ooff,
             theta=theta, eps2=softening_sq, leaf_cap=leaf_cap, ld=ld,
             burst_rows=burst_rows, interpret=interpret,
+            frontier_cap=frontier_cap or FRONTIER_CAP,
         )
 
         # Capacity contract: a mid-run bucket overflow (bodies drifted
@@ -342,7 +351,7 @@ def fused_shard_force_fn(
                 jnp.maximum(bucket_overflow, 0), axis_name
             ).reshape(()),
             "trimmed_groups": lax.psum(trimmed, axis_name).reshape(()),
-            "stack_overflow": lax.pmax(
+            "frontier_overflow": lax.pmax(
                 jnp.max(kstats[:, 3]), axis_name
             ).reshape(()),
             "near_bodies": lax.psum(
@@ -355,7 +364,7 @@ def fused_shard_force_fn(
     out_specs = (
         (P(axis_name, None), {k: P() for k in
                               ("bucket_overflow", "trimmed_groups",
-                               "stack_overflow", "near_bodies",
+                               "frontier_overflow", "near_bodies",
                                "halo_overflow")})
         if return_stats
         else P(axis_name, None)
@@ -375,20 +384,56 @@ def check_sharded_fused(bodies, mesh=None, **kw):
     """Fail-fast startup probe for the sharded fused path (the sharded
     analog of bh_fused.check_fused): one force eval; raises CapacityError
     on bucket overflow, trimmed groups or DFS stack overflow."""
-    fn = fused_shard_force_fn(mesh=mesh, return_stats=True, **kw)
+    from nbody_tpu.core import capacity as _cap
+
+    mesh_r = mesh or make_mesh()
+    n_dev = mesh_r.devices.size
+    fn = fused_shard_force_fn(mesh=mesh_r, return_stats=True, **kw)
     _, stats = fn(bodies.pos, bodies.mass)
-    bad = {
-        name: int(stats[name])
-        for name in ("bucket_overflow", "trimmed_groups", "stack_overflow",
-                     "halo_overflow")
-        if int(stats[name]) > 0
-    }
-    if bad:
+
+    # Reconstruct the capacities the traced fn derived, so each measured
+    # overflow converts into the exact flag value that fits.
+    n = bodies.pos.shape[0]
+    C = n // n_dev
+    b = min(kw.get("group_size", 1024), C)
+    bucket_frac = kw.get("bucket_frac", 2.5)
+    CB = _round_up(max(int(bucket_frac * C / n_dev), min(C, 256)), 128)
+    C_own = n_dev * CB
+    h_cap = kw.get("halo_cap", 0) or _round_up(max(256, C_own // 8), 128)
+
+    fixes = []
+    if int(stats["bucket_overflow"]) > 0:
+        need_cb = CB + int(stats["bucket_overflow"])
+        need_frac = math.ceil(need_cb * n_dev / max(C, 1) * 10 + 1) / 10
+        fixes.append(
+            f"the fullest Morton bucket needed {need_cb} slots (capacity "
+            f"{CB}): pass --bucket-frac {need_frac}"
+        )
+    if int(stats["halo_overflow"]) > 0:
+        need_h = _round_up(h_cap + int(stats["halo_overflow"]), 128)
+        fixes.append(
+            f"the worst chip pair's halo needed {h_cap + int(stats['halo_overflow'])} "
+            f"slots (capacity {h_cap}): pass --halo-cap {need_h}"
+        )
+    if int(stats["trimmed_groups"]) > 0:
+        keep = kw.get("keep_groups", 0) or _cap.auto_keep(
+            C_own, b, 10**9, _cap.budget_bytes()
+        )
+        fixes.append(
+            f"{int(stats['trimmed_groups'])} occupied groups trimmed: pass "
+            f"--bh-keep-groups {keep + int(stats['trimmed_groups'])}"
+        )
+    if int(stats["frontier_overflow"]) > 0:
+        fovf = int(stats["frontier_overflow"])
+        base = kw.get("frontier_cap", 0) or FRONTIER_CAP
+        need = -(-max(fovf + 1, base) // 128) * 128
+        fixes.append(
+            f"BFS frontier overflow (a level needed >= {fovf} octets): "
+            f"pass --bh-frontier-cap {need}"
+        )
+    if fixes:
         raise CapacityError(
-            f"sharded fused Barnes-Hut capacity overflow: {bad}; rerun "
-            "with a larger --bh-group-size, bucket_frac, or halo_cap "
-            "(halo_overflow reports how many slots past the current "
-            "capacity the worst chip pair needs)"
+            "sharded fused Barnes-Hut capacity overflow: " + "; ".join(fixes)
         )
     return stats
 
@@ -929,8 +974,25 @@ def simulate_persistent_sharded(
             if int(st[name]) > 0
         }
         if bad:
+            fixes = []
+            if int(st["bucket_overflow"]) > 0:
+                n_dev = mesh.devices.size
+                C, _, _, _, CB, _, _ = _shard_layout(
+                    n, n_dev, kw.get("group_size", 1024),
+                    kw.get("bucket_frac", 2.5),
+                )
+                need_cb = CB + int(st["bucket_overflow"])
+                need = math.ceil(need_cb * n_dev / max(C, 1) * 10 + 1) / 10
+                fixes.append(f"pass --bucket-frac {need}")
+            if int(st["trimmed"]) > 0:
+                fixes.append(
+                    "raise --bh-group-size (the persistent group capacity "
+                    "is provably sized; trimming means pathological "
+                    "clustering at this group size)"
+                )
             raise CapacityError(
-                f"sharded persistent Barnes-Hut capacity overflow: {bad}"
+                f"sharded persistent Barnes-Hut capacity overflow: {bad}; "
+                + "; ".join(fixes)
             )
 
     def stale(st) -> bool:

@@ -149,14 +149,18 @@ def barneshut_shard_force_fn(
 ):
     """Sharded Barnes-Hut ForceFn: (pos, mass) sharded on axis 0 -> acc.
 
-    Round-1 multi-chip strategy (SURVEY.md §7 "hard parts" item 5): the
-    tree is small relative to the force work, so every chip all_gathers
-    positions over ICI and builds the full Morton tree redundantly
-    (replicated build — the analog of the reference rebuilding the whole
-    tree every step, serial/barnes-hut.c:496-500), then traverses and
-    evaluates only its own contiguous slice of Morton groups.  The
-    per-chip sorted acceleration slices are all_gathered and scattered
-    back to the original body order.
+    DEMOTED round-1 fallback — explicit opt-in only (--bh-traversal
+    flat/padded with --shard; the CLI's auto default is the
+    Morton-range-sharded fused pipeline, parallel/bh_shard.py, which
+    costs O(N/P + halo) memory and O(N/P) build per chip).  This path
+    all_gathers positions over ICI and builds the full Morton tree
+    redundantly on every chip (the analog of the reference rebuilding
+    the whole tree every step, serial/barnes-hut.c:496-500), then
+    traverses and evaluates only its own contiguous slice of Morton
+    groups — O(N) memory and O(N log N) build per chip, an Amdahl floor
+    at scale.  It remains as the only sharded route for the flat XLA
+    traversal engines.  The per-chip sorted acceleration slices are
+    all_gathered and scattered back to the original body order.
 
     Requires the sharded N to be a multiple of group_size * n_devices
     (shard_bodies + group-size-aligned padding handles this upstream).

@@ -33,7 +33,7 @@ def _run(pos, mass, **kw):
         return_stats=True,
         **kw,
     )
-    assert int(stats["stack_overflow"]) == 0
+    assert int(stats["frontier_overflow"]) == 0
     assert int(stats["trimmed_groups"]) == 0
     return np.asarray(acc), stats
 

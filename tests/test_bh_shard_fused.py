@@ -55,7 +55,7 @@ def test_sharded_fused_parity_vs_direct(mesh):
     acc, stats = force(bodies.pos, bodies.mass)
     assert int(stats["bucket_overflow"]) == 0
     assert int(stats["trimmed_groups"]) == 0
-    assert int(stats["stack_overflow"]) == 0
+    assert int(stats["frontier_overflow"]) == 0
     got = np.asarray(acc)[:n]
     want = _direct(pos, mass)
     err = np.abs(got - want).max() / np.abs(want).max()

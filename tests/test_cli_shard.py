@@ -86,3 +86,30 @@ def test_cli_shard_persistent(tmp_path, capsys):
     assert read_bodies(str(ck)).shape == (100, 7)
     err = capsys.readouterr().err
     assert "progress: step" in err
+
+
+def test_cli_shard_auto_routes_fused(tmp_path, capsys):
+    """--shard + barnes-hut WITHOUT --bh-traversal must route through the
+    Morton-range-sharded fused pipeline (VERDICT round-2 item 10: the
+    replicated-build fallback is explicit-opt-in only), and the explicit
+    flat fallback must announce itself."""
+    a = tmp_path / "a.csv"
+    args = [
+        os.path.join(DATA_DIR, "100_bodies_g1.csv"),
+        "0", "0.2", "0.1", str(a),
+        "--algo", "barnes-hut",
+        "--bh-group-size", "64",
+        "--shard",
+    ]
+    assert main(args) == 0
+    out = capsys.readouterr()
+    assert "/fused" in out.out  # banner names the fused backend
+    assert "replicated-build" not in out.err
+
+    b = tmp_path / "b.csv"
+    assert main(
+        [a if x == str(a) else x for x in args][:4] + [str(b)]
+        + args[5:] + ["--bh-traversal", "flat"]
+    ) == 0
+    out = capsys.readouterr()
+    assert "replicated-build" in out.err

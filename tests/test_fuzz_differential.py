@@ -75,7 +75,7 @@ def test_traversals_agree_with_oracle(n, shape, theta, gs, seed):
         pos, mass, theta=theta, group_size=gs, interpret=True,
         return_stats=True,
     )
-    assert int(fstats["stack_overflow"]) == 0
+    assert int(fstats["frontier_overflow"]) == 0
     assert int(fstats["trimmed_groups"]) == 0
     err_fused = np.abs(np.asarray(fused) - want).max() / scale
     assert err_fused < tol, (shape, err_fused)
