@@ -71,7 +71,11 @@ class GroupState(NamedTuple):
     valid: (G, B) bool
     gcount:(G,) i32
     orig:  (G, B) i32 original body index; pads -> N (scatter-dropped)
-    nid:   (G, B) i32 stale terminal-cell id; pads -> 8^ld (dropped)
+    nid:   (G, B) i32 stale terminal-cell id, NON-DECREASING over the
+           flattened slot order (pads continue their group's last real
+           cell id and contribute zero via gm = 0; fully-padded trailing
+           groups carry 8^ld from the sentinel key) — the sortedness
+           contract of _ft_from_state's one-pass segment_sum
     it:    (RI, 128) i32 static start/span octet table (slot-index space)
     bsq:   (16,) f32 (border / 2^level)^2
     border:() f32
@@ -108,18 +112,33 @@ def _layout(n: int, group_size: int):
 
 
 def _ft_from_state(pg, nid, ld: int):
-    """Per-step float-table rebuild: segment COM/G-mass over stale cells."""
+    """Per-step float-table rebuild: segment COM/G-mass over stale cells.
+
+    One combined (M, 4) segment_sum of [gm*x, gm*y, gm*z, gm] with
+    indices_are_sorted — _resort guarantees nid is non-decreasing over
+    the flattened slot order (pads inherit their group's last real nid
+    and contribute exactly zero through gm = 0).  Measured on the v5e at
+    1M (tools/probe_ft_rebuild.py): one sorted (M,4) pass 20 ms vs the
+    separate (M,3)+(M,) unsorted passes 29 ms; the (M,3) transpose of
+    the planar layout this replaces cost another ~5 ms."""
     k_terminal = 8**ld
     m = pg.shape[0] * pg.shape[2]
-    pos_f = jnp.transpose(pg[:, :3, :], (0, 2, 1)).reshape(m, 3)
     gm_f = pg[:, 3, :].reshape(m)
     nid_f = nid.reshape(m)
-    w = jax.ops.segment_sum(
-        gm_f[:, None] * pos_f, nid_f, num_segments=k_terminal + 1
+    vals = jnp.stack(
+        [
+            gm_f * pg[:, 0, :].reshape(m),
+            gm_f * pg[:, 1, :].reshape(m),
+            gm_f * pg[:, 2, :].reshape(m),
+            gm_f,
+        ],
+        axis=1,
+    )
+    s = jax.ops.segment_sum(
+        vals, nid_f, num_segments=k_terminal + 1, indices_are_sorted=True
     )[:k_terminal]
-    gm = jax.ops.segment_sum(gm_f, nid_f, num_segments=k_terminal + 1)[
-        :k_terminal
-    ]
+    w = s[:, :3]
+    gm = s[:, 3]
     ws, gms = [w], [gm]
     for _ in range(ld):
         ws.append(ws[-1].reshape(-1, 8, 3).sum(axis=1))
@@ -183,8 +202,14 @@ def _resort(pos_f, vel_f, acc_f, gm_f, orig_f, n: int, group_size: int):
     gcount = jnp.minimum(gcount, jnp.clip(n - gstart, 0))
     slots = jnp.arange(b, dtype=jnp.int32)[None, :]
     group_valid = slots < gcount[:, None]
+    # pads gather the group's LAST real slot (not the first): their nid
+    # then continues the group's final cell id, which keeps the flattened
+    # nid non-decreasing end to end (Morton order + single-owner cells)
+    # — the sortedness contract _ft_from_state's segment_sum relies on.
+    # Pad values stay inert regardless (gm = 0, orig = n).
+    last = gstart + jnp.maximum(gcount - 1, 0)
     group_idx = jnp.clip(
-        jnp.where(group_valid, gstart[:, None] + slots, gstart[:, None]),
+        jnp.where(group_valid, gstart[:, None] + slots, last[:, None]),
         0,
         m_in - 1,
     )
@@ -204,31 +229,41 @@ def _resort(pos_f, vel_f, acc_f, gm_f, orig_f, n: int, group_size: int):
     vel_g = jnp.transpose(vel_s[group_idx].astype(jnp.float32), (0, 2, 1))
     acc_g = jnp.transpose(acc_s[group_idx].astype(jnp.float32), (0, 2, 1))
     orig_g = jnp.where(group_valid, orig_s[group_idx], n).astype(jnp.int32)
-    nid_g = jnp.where(
-        group_valid,
+    # No pad sentinel: pads gather their group's last real slot, so their
+    # nid continues that cell id and the flattened sequence stays
+    # non-decreasing (the _ft_from_state sortedness contract).  Sentinel
+    # keys of fully-padded trailing groups shift to >= k_terminal - 1,
+    # preserving monotonicity; clip keeps ids in segment range.
+    nid_g = jnp.minimum(
         (keys_s[group_idx] >> (3 * (_DEPTH - ld))).astype(jnp.int32),
         k_terminal,
     )
 
     # static int tables: start/end per terminal cell in SLOT-index space
+    # (pads excluded by masking VALUES — min/max/sum-neutral — since the
+    # ids alone no longer identify them)
     m = g_cap * b
     slot_idx = jnp.arange(m, dtype=jnp.int32)
     nid_f2 = nid_g.reshape(m)
+    valid_f = group_valid.reshape(m)
     inf = jnp.int32(2**31 - 1)
     st = jax.ops.segment_min(
-        jnp.where(nid_f2 < k_terminal, slot_idx, inf),
+        jnp.where(valid_f, slot_idx, inf),
         nid_f2,
         num_segments=k_terminal + 1,
+        indices_are_sorted=True,
     )[:k_terminal]
     en = jax.ops.segment_max(
-        jnp.where(nid_f2 < k_terminal, slot_idx + 1, -1),
+        jnp.where(valid_f, slot_idx + 1, -1),
         nid_f2,
         num_segments=k_terminal + 1,
+        indices_are_sorted=True,
     )[:k_terminal]
     cnt = jax.ops.segment_sum(
-        (nid_f2 < k_terminal).astype(jnp.int32),
+        valid_f.astype(jnp.int32),
         nid_f2,
         num_segments=k_terminal + 1,
+        indices_are_sorted=True,
     )[:k_terminal]
     zero3 = jnp.zeros((k_terminal, 3), jnp.float32)
     tree = grid_from_terminal(

@@ -539,8 +539,13 @@ def persistent_shard_fns(
         gcount = jnp.minimum(gcount, jnp.clip(Rk - gstart, 0))
         slots2 = jnp.arange(b, dtype=jnp.int32)[None, :]
         group_valid = slots2 < gcount[:, None]
+        # pads gather the group's LAST real slot so their nid continues
+        # the group's final cell id — the flattened nid stays
+        # non-decreasing (empties land at k_terminal after compaction),
+        # the sortedness contract of local_ft's one-pass segment_sum.
+        last = gstart + jnp.maximum(gcount - 1, 0)
         group_idx = jnp.clip(
-            jnp.where(group_valid, gstart[:, None] + slots2, gstart[:, None]),
+            jnp.where(group_valid, gstart[:, None] + slots2, last[:, None]),
             0,
             m_in - 1,
         )
@@ -558,27 +563,29 @@ def persistent_shard_fns(
         vel_g = jnp.transpose(rows[:, :, 4:7], (0, 2, 1))
         acc_g = jnp.transpose(rows[:, :, 7:10], (0, 2, 1))
         orig_g = jnp.where(group_valid, myo[group_idx], n).astype(jnp.int32)
-        nid_g = jnp.where(
-            group_valid,
+        nid_g = jnp.minimum(
             (myk[group_idx] >> (3 * (_DEPTH - ld))).astype(jnp.int32),
             k_terminal,
         )
 
-        # static cell ranges in GLOBAL slot space (chip k at [k*M_l, ...))
+        # static cell ranges in GLOBAL slot space (chip k at [k*M_l, ...));
+        # pads excluded by masking VALUES (min/max/sum-neutral) since the
+        # ids alone no longer identify them
         gslot = (k * M_l + jnp.arange(M_l, dtype=jnp.int32)).reshape(M_l)
         nid_f = nid_g.reshape(M_l)
+        valid_f = group_valid.reshape(M_l)
         inf = jnp.int32(2**31 - 1)
         stp = jax.ops.segment_min(
-            jnp.where(nid_f < k_terminal, gslot, inf), nid_f,
-            num_segments=k_terminal + 1,
+            jnp.where(valid_f, gslot, inf), nid_f,
+            num_segments=k_terminal + 1, indices_are_sorted=True,
         )[:k_terminal]
         enp = jax.ops.segment_max(
-            jnp.where(nid_f < k_terminal, gslot + 1, -1), nid_f,
-            num_segments=k_terminal + 1,
+            jnp.where(valid_f, gslot + 1, -1), nid_f,
+            num_segments=k_terminal + 1, indices_are_sorted=True,
         )[:k_terminal]
         cntp = jax.ops.segment_sum(
-            (nid_f < k_terminal).astype(jnp.int32), nid_f,
-            num_segments=k_terminal + 1,
+            valid_f.astype(jnp.int32), nid_f,
+            num_segments=k_terminal + 1, indices_are_sorted=True,
         )[:k_terminal]
         st_g = lax.pmin(stp, axis_name)
         en_g = lax.pmax(enp, axis_name)
@@ -774,16 +781,25 @@ def persistent_shard_fns(
         return _regroup(myk, myo, myf, border, spl, bucket_overflow, oob)
 
     def local_ft(pg, nid):
-        """psum'd per-step float-table rebuild over stale cells."""
-        pos_f = jnp.transpose(pg[:, :3, :], (0, 2, 1)).reshape(M_l, 3)
+        """psum'd per-step float-table rebuild over stale cells: one
+        combined (M, 4) sorted segment_sum (see ops/bh_persistent.
+        _ft_from_state — measured 2x the separate unsorted passes)."""
         gm_f = pg[:, 3, :].reshape(M_l)
         nid_f = nid.reshape(M_l)
-        w = jax.ops.segment_sum(
-            gm_f[:, None] * pos_f, nid_f, num_segments=k_terminal + 1
+        vals = jnp.stack(
+            [
+                gm_f * pg[:, 0, :].reshape(M_l),
+                gm_f * pg[:, 1, :].reshape(M_l),
+                gm_f * pg[:, 2, :].reshape(M_l),
+                gm_f,
+            ],
+            axis=1,
+        )
+        s = jax.ops.segment_sum(
+            vals, nid_f, num_segments=k_terminal + 1, indices_are_sorted=True
         )[:k_terminal]
-        gm = jax.ops.segment_sum(gm_f, nid_f, num_segments=k_terminal + 1)[
-            :k_terminal
-        ]
+        w = s[:, :3]
+        gm = s[:, 3]
         w = lax.psum(w, axis_name)
         gm = lax.psum(gm, axis_name)
         ws, gms = [w], [gm]

@@ -79,3 +79,53 @@ def test_traversals_agree_with_oracle(n, shape, theta, gs, seed):
     assert int(fstats["trimmed_groups"]) == 0
     err_fused = np.abs(np.asarray(fused) - want).max() / scale
     assert err_fused < tol, (shape, err_fused)
+
+
+SHARD_CONFIGS = [
+    # (n, shape, theta, group_size, halo, seed)
+    (768, "clusters", 0.5, 64, False, 11),
+    (1024, "disk", 0.5, 128, True, 12),
+    (896, "shell", 0.7, 64, True, 13),
+]
+
+
+@pytest.mark.parametrize("n,shape,theta,gs,halo,seed", SHARD_CONFIGS)
+def test_sharded_pipeline_agrees_with_oracle(n, shape, theta, gs, halo, seed):
+    """Differential fuzz over the DISTRIBUTED pipeline (local sort,
+    sample-sort all_to_all, psum'd build, per-chip fused traversal, with
+    and without the Morton-halo exchange) on the 8-device mesh — the
+    multi-chip twin of the single-device cases above."""
+    import jax
+
+    from nbody_tpu.core.types import Bodies
+    from nbody_tpu.parallel.bh_shard import fused_shard_force_fn
+    from nbody_tpu.parallel.mesh import make_mesh
+    from nbody_tpu.parallel.sharding import shard_bodies
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = make_mesh(jax.devices()[:8])
+
+    pos_np, mass_np = _make(n, shape, seed)
+    want = accel_exhaustive(pos_np, mass_np)
+    scale = np.abs(want).max()
+    tol = 0.02 if theta <= 0.5 else 0.04
+
+    bodies = shard_bodies(
+        Bodies(
+            jnp.asarray(pos_np, jnp.float32),
+            jnp.zeros((n, 3), jnp.float32),
+            jnp.asarray(mass_np, jnp.float32),
+        ),
+        mesh=mesh,
+    )
+    force = fused_shard_force_fn(
+        mesh=mesh, theta=theta, group_size=gs, halo=halo,
+        return_stats=True,
+    )
+    acc, stats = force(bodies.pos, bodies.mass)
+    for name in ("bucket_overflow", "trimmed_groups", "frontier_overflow",
+                 "halo_overflow"):
+        assert int(stats[name]) == 0, (name, int(stats[name]))
+    err = np.abs(np.asarray(acc)[:n] - want).max() / scale
+    assert err < tol, (shape, err)
