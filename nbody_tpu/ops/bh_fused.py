@@ -171,10 +171,13 @@ def _fused_kernel(
 ):
     # debug_mode bisects the kernel's serial cost centers on hardware
     # (tools/profile_fused_stages.py): "pops" = DFS+classify only,
-    # "stage" = + staging/row machinery (no DMA, no eval), "dma" = + HBM
+    # "stage" = + staging/row machinery (no DMA, no eval), "stagefar" /
+    # "stagenear" = just one staging branch (--split-stage prices the
+    # far-COM and near-range scalar work separately), "dma" = + HBM
     # window DMAs (no eval), "full" = production.  Static: every
     # non-"full" branch traces away entirely in production.
-    do_stage = debug_mode != "pops"
+    do_stage_far = debug_mode not in ("pops", "stagenear")
+    do_stage_near = debug_mode not in ("pops", "stagefar")
     do_dma = debug_mode in ("dma", "full")
     do_eval = debug_mode == "full"
     _SP, NSRC, NRNG, ROWS, PEND_S, PEND_E, POPS, NNEAR, TSRC, OVF = range(10)
@@ -514,7 +517,7 @@ def _fused_kernel(
                             if True:  # dynamic trip count (see gather loop)
                                 bits = bsm[0, i]
 
-                                @pl.when(((bits & 0xFF) > 0) & do_stage)
+                                @pl.when(((bits & 0xFF) > 0) & do_stage_far)
                                 def _():  # -- far COMs --
                                     nsrc = st[NSRC]
                                     m = (lanes >> 3) == ((nsrc >> 3) & 15)
@@ -545,7 +548,7 @@ def _fused_kernel(
                                     def _():
                                         flush_com_row()
 
-                                @pl.when(((bits >> 16) > 0) & do_stage)
+                                @pl.when(((bits >> 16) > 0) & do_stage_near)
                                 def _():  # -- near ranges --
                                     nr = st[NRNG]
                                     m = (lanes >> 3) == ((nr >> 3) & 15)

@@ -35,7 +35,8 @@ def main() -> None:
     from nbody_tpu.diag import bh_phases  # noqa: F401 (import side effects none)
     from nbody_tpu.ops import bh_fused as bf
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    pos_args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    n = int(pos_args[0]) if pos_args else 1_000_000
     interpret = jax.default_backend() == "cpu"
     if interpret:
         n = min(n, 2000)
@@ -47,7 +48,11 @@ def main() -> None:
     import functools
 
     prev = None
-    for mode in ("none", "pops", "stage", "dma", "full"):
+    modes = ("none", "pops", "stage", "dma", "full")
+    if "--split-stage" in sys.argv:
+        # price the far-COM and near-range staging branches separately
+        modes = ("pops", "stagefar", "stagenear", "stage")
+    for mode in modes:
         fn = jax.jit(
             functools.partial(
                 bf.barneshut_fused, interpret=interpret, debug_mode=mode
