@@ -61,6 +61,32 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--theta", type=float, default=constants.THETA)
     p.add_argument("--softening2", type=float, default=constants.SOFTENING_SQ)
     p.add_argument(
+        "--softening-per-body",
+        metavar="FILE",
+        default=None,
+        help="per-body softening lengths eps_i, one per line (N lines); "
+        "pairs soften with the symmetric mean (eps_i^2 + eps_j^2)/2 — a "
+        "capability beyond the reference's single global value.  "
+        "Exhaustive jnp backend only (tree nodes aggregate bodies; "
+        "per-node softening classes are future work)",
+    )
+    p.add_argument(
+        "--merge-radius",
+        type=float,
+        default=0.0,
+        help="contact distance for perfectly inelastic body mergers "
+        "(ops/collisions.py; beyond the reference, which is strictly "
+        "collisionless).  Absorbed bodies continue as zero-mass tracers; "
+        "mass and momentum are conserved exactly.  Unsharded runs only",
+    )
+    p.add_argument(
+        "--merge-every",
+        type=int,
+        default=1,
+        help="steps between merge passes (with --merge-radius); pick so "
+        "bodies cannot cross the contact radius between passes",
+    )
+    p.add_argument(
         "--no-output",
         action="store_true",
         help="skip trajectory writing (the reference's non--DRESULTS build)",
@@ -268,6 +294,25 @@ def build_force_fn(args, n: int):
         pallas_kw["block_j"] = args.block_j
     bh_kw = _bh_kwargs(args)
 
+    eps2_per_body = None
+    if getattr(args, "softening_per_body", None):
+        if algo != "exhaustive" or args.shard or backend == "pallas":
+            raise SystemExit(
+                "--softening-per-body requires --algo exhaustive with the "
+                "jnp backend, unsharded (got algo=%s backend=%s shard=%s)"
+                % (algo, backend, args.shard)
+            )
+        import jax.numpy as jnp
+
+        eps = np.loadtxt(args.softening_per_body, dtype=np.float64).reshape(-1)
+        if eps.shape[0] != n:
+            raise SystemExit(
+                "--softening-per-body: %d values for %d bodies"
+                % (eps.shape[0], n)
+            )
+        dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
+        eps2_per_body = jnp.asarray(eps * eps, dtype)
+
     if algo == "exhaustive":
         if args.shard:
             from nbody_tpu.parallel.sharding import shard_force_fn
@@ -305,6 +350,8 @@ def build_force_fn(args, n: int):
             force = partial(
                 exhaustive_accelerations, G=args.G, softening_sq=args.softening2
             )
+            if eps2_per_body is not None:
+                force = partial(force, eps2_per_body=eps2_per_body)
     else:
         traversal = getattr(args, "bh_traversal", "auto")
         if traversal == "auto":
@@ -623,6 +670,12 @@ def main(argv=None) -> int:
             "path with the KDK integrator; ignoring",
             file=sys.stderr,
         )
+    if args.merge_radius > 0 and (args.shard or persistent):
+        raise SystemExit(
+            "--merge-radius requires an unsharded, non-persistent run "
+            "(merging changes masses; the persistent/sharded layouts "
+            "cache mass-derived state)"
+        )
 
     progress_fn = None
     if args.progress > 0:
@@ -701,6 +754,17 @@ def main(argv=None) -> int:
                 bodies.mass,
             )
         else:
+            merge_kw = {}
+            if args.merge_radius > 0:
+                if args.shard or args.integrator != "leapfrog":
+                    raise SystemExit(
+                        "--merge-radius requires an unsharded leapfrog run"
+                    )
+                merge_kw = dict(
+                    merge_radius=args.merge_radius,
+                    merge_every=max(1, args.merge_every),
+                    merge_report=lambda k: print(f"Merged bodies: {k}"),
+                )
             bodies = simulate(
                 bodies, n_steps, dt, force,
                 frame_writer=writer, chunk_steps=args.chunk_steps,
@@ -709,6 +773,7 @@ def main(argv=None) -> int:
                 integrator=args.integrator,
                 progress_every=args.progress,
                 progress_fn=progress_fn,
+                **merge_kw,
             )
     elapsed = time.perf_counter() - t_wall0
     if ckpt_mgr is not None:

@@ -123,6 +123,9 @@ def simulate(
     integrator: str = "leapfrog",
     progress_every: int = 0,
     progress_fn: Optional[Callable[[int], None]] = None,
+    merge_radius: float = 0.0,
+    merge_every: int = 1,
+    merge_report: Optional[Callable[[int], None]] = None,
 ) -> Bodies:
     """Run a full simulation, optionally streaming trajectory frames.
 
@@ -134,12 +137,20 @@ def simulate(
     `progress_fn(done)` fires every `progress_every` steps, after a device
     fence, so callers can report wall-clock heartbeats (the PRINT_LOOP
     analog, cuda/barnes-hut.cu:1037-1039).
+
+    `merge_radius > 0` switches on inelastic merging every `merge_every`
+    steps (ops/collisions.py; leapfrog only); `merge_report` receives
+    the total number of absorbed bodies at the end.
     """
+    merging = merge_radius > 0
+    if merging and integrator != "leapfrog":
+        raise ValueError("merging supports the leapfrog integrator only")
     if frame_writer is not None:
         frame_writer(np.asarray(bodies.pos)[None])
 
     acc = None
     done = 0
+    merged_total = 0
     chunked = (
         frame_writer is not None or checkpoint_every > 0 or progress_every > 0
     )
@@ -151,7 +162,21 @@ def simulate(
         if progress_every > 0:
             next_prog = ((done // progress_every) + 1) * progress_every
             t = min(t, next_prog - done)
-        if frame_writer is not None:
+        if merging:
+            from nbody_tpu.ops.collisions import simulate_merging
+
+            out = simulate_merging(
+                bodies, t, dt, force_fn, radius=merge_radius,
+                merge_every=merge_every, acc0=acc, k0=done,
+                with_history=frame_writer is not None,
+            )
+            if frame_writer is not None:
+                bodies, acc, merged, hist = out
+                frame_writer(np.asarray(hist))
+            else:
+                bodies, acc, merged = out
+            merged_total += int(merged)
+        elif frame_writer is not None:
             bodies, acc, hist = leapfrog_steps(
                 bodies, t, dt, force_fn, acc0=acc, with_history=True,
                 integrator=integrator,
@@ -179,4 +204,6 @@ def simulate(
     # fence on every PJRT plugin (the axon tunnel returns immediately), and
     # callers time around this function.
     np.asarray(bodies.pos[:1])
+    if merging and merge_report is not None:
+        merge_report(merged_total)
     return bodies

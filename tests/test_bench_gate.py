@@ -112,3 +112,30 @@ def test_energy_drift_contract():
     ke1, pe1 = get_energy(out.pos, out.vel, out.mass, G=1.0)
     drift = energy_drift(float(ke1 + pe1), float(ke0 + pe0))
     assert abs(drift) < 1e-3, drift
+
+
+DRIFT_RECORD = os.path.join(REPO, "bench", "drift_series.json")
+
+
+def test_drift_series_record():
+    """Gate the recorded long-run drift CURVE (tools/drift_series.py):
+    every sample of the 500-step Barnes-Hut run stays within the 1e-3
+    contract, and the curve oscillates instead of growing — the second
+    half's worst drift must not exceed 3x the first half's (a secular
+    trend in a symplectic KDK run means a force path went wrong, e.g.
+    silently dropped sources)."""
+    if not os.path.exists(DRIFT_RECORD):
+        pytest.skip("no recorded drift series yet")
+    with open(DRIFT_RECORD) as f:
+        lines = [json.loads(x) for x in f if x.strip()]
+    head, samples = lines[0], lines[1:]
+    assert head["config"]["algo"] == "barnes-hut"
+    assert len(samples) >= 8
+    drifts = np.array([s["drift"] for s in samples])
+    steps = np.array([s["step"] for s in samples])
+    assert (steps[1:] > steps[:-1]).all()
+    assert np.isfinite(drifts).all()
+    assert drifts.max() < 1e-3, drifts.max()
+    half = len(drifts) // 2
+    first, second = drifts[:half].max(), drifts[half:].max()
+    assert second <= 3.0 * max(first, 1e-6), (first, second)

@@ -1,0 +1,142 @@
+"""Per-body softening (capability beyond the reference).
+
+The reference threads one global eps2 through every kernel
+(serial/exhaustive.c:173's `SOFTENING_CONSTANT`); collisionless
+production codes soften per body.  Contract here: pairwise
+eps2_ij = (eps2_i + eps2_j) / 2 — symmetric, so pair forces stay
+antisymmetric and momentum is exactly conserved (ops/exhaustive.py
+_pair_eps2).  Covered: all three jnp strategies vs a fp64 NumPy oracle,
+scalar-equivalence (a uniform array must reproduce the scalar path
+bit-for-bit), momentum conservation, and the CLI flag end-to-end.
+"""
+
+import subprocess
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nbody_tpu.ops.exhaustive import (
+    direct_accelerations,
+    exhaustive_accelerations,
+)
+
+
+def _fixture(n, seed=0):
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(-1, 1, (n, 3))
+    mass = rng.uniform(0.1, 1.0, n)
+    eps2 = rng.uniform(1e-4, 1e-2, n)
+    return pos, mass, eps2
+
+
+def _oracle(pos, mass, eps2):
+    d = pos[None] - pos[:, None]
+    r2 = (d * d).sum(-1) + 0.5 * (eps2[:, None] + eps2[None, :])
+    w = r2 ** -1.5 * mass[None]
+    np.fill_diagonal(w, 0.0)  # self-term: d == 0 makes it zero anyway
+    return np.einsum("ij,ijk->ik", w, d)
+
+
+@pytest.mark.parametrize("mode,chunk", [
+    ("direct", 0), ("chunked", 64), ("mxu", 64),
+])
+def test_per_body_softening_matches_oracle(mode, chunk):
+    pos, mass, eps2 = _fixture(300)
+    want = _oracle(pos, mass, eps2)
+    scale = np.abs(want).max()
+    p = jnp.asarray(pos, jnp.float32)
+    m = jnp.asarray(mass, jnp.float32)
+    e = jnp.asarray(eps2, jnp.float32)
+    if mode == "direct":
+        got = direct_accelerations(p, m, G=1.0, eps2_per_body=e)
+    else:
+        got = exhaustive_accelerations(
+            p, m, G=1.0, mode=mode, chunk=chunk, eps2_per_body=e
+        )
+    err = np.abs(np.asarray(got) - want).max() / scale
+    # mxu: the expanded |r|^2 form cancels at fp32 for the closest pairs
+    # (module docstring) — per-body eps2 down to 1e-4 softens them less
+    # than the scalar default, so its envelope is wider (6.7e-4 measured)
+    tol = 2e-3 if mode == "mxu" else 5e-5
+    assert err < tol, (mode, err)
+
+
+def test_momentum_exactly_conserved():
+    """Symmetric pair softening keeps sum_i m_i a_i at rounding level;
+    an asymmetric convention (e.g. target-only eps_i) would not."""
+    pos, mass, eps2 = _fixture(257, seed=3)
+    a = np.asarray(direct_accelerations(
+        jnp.asarray(pos, jnp.float32), jnp.asarray(mass, jnp.float32),
+        G=1.0, eps2_per_body=jnp.asarray(eps2, jnp.float32),
+    ))
+    ptot = np.abs((mass[:, None] * a).sum(0)).max()
+    assert ptot < 1e-3 * np.abs(mass[:, None] * a).max(), ptot
+
+
+def test_uniform_array_equals_scalar():
+    pos, mass, _ = _fixture(200, seed=5)
+    s = 3e-3
+    p = jnp.asarray(pos, jnp.float32)
+    m = jnp.asarray(mass, jnp.float32)
+    a_scalar = direct_accelerations(p, m, G=1.0, softening_sq=s)
+    a_array = direct_accelerations(
+        p, m, G=1.0, eps2_per_body=jnp.full(200, s, jnp.float32)
+    )
+    assert np.array_equal(np.asarray(a_scalar), np.asarray(a_array))
+
+
+def test_scalar_paths_unchanged():
+    """Regression: the scalar softening path through the rect rewrite
+    still matches the broadcast oracle in every mode."""
+    pos, mass, _ = _fixture(300, seed=7)
+    s = 3e-3
+    d = pos[None] - pos[:, None]
+    r2 = (d * d).sum(-1) + s
+    w = r2 ** -1.5 * mass[None]
+    np.fill_diagonal(w, 0.0)
+    want = np.einsum("ij,ijk->ik", w, d)
+    scale = np.abs(want).max()
+    p = jnp.asarray(pos, jnp.float32)
+    m = jnp.asarray(mass, jnp.float32)
+    for mode in ("chunked", "mxu"):
+        got = exhaustive_accelerations(
+            p, m, G=1.0, softening_sq=s, mode=mode, chunk=64
+        )
+        err = np.abs(np.asarray(got) - want).max() / scale
+        assert err < 5e-5, (mode, err)
+
+
+def test_cli_flag(tmp_path):
+    eps_file = tmp_path / "eps.txt"
+    eps_file.write_text("\n".join(["0.05"] * 10) + "\n")
+    out = tmp_path / "out.csv"
+    r = subprocess.run(
+        [sys.executable, "-m", "nbody_tpu", "tests/data/10_bodies.csv",
+         "0", "1", "0.1", str(out), "--backend", "jnp",
+         "--algo", "exhaustive", "--softening-per-body", str(eps_file)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    assert out.exists()
+    # wrong length fails fast
+    eps_file.write_text("0.05\n0.05\n")
+    r = subprocess.run(
+        [sys.executable, "-m", "nbody_tpu", "tests/data/10_bodies.csv",
+         "0", "1", "0.1", str(out), "--backend", "jnp",
+         "--algo", "exhaustive", "--softening-per-body", str(eps_file)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode != 0
+    assert "2 values for 10 bodies" in r.stderr
+    # rejected with barnes-hut
+    eps_file.write_text("\n".join(["0.05"] * 10) + "\n")
+    r = subprocess.run(
+        [sys.executable, "-m", "nbody_tpu", "tests/data/10_bodies.csv",
+         "0", "1", "0.1", str(out), "--backend", "jnp",
+         "--algo", "barnes-hut", "--softening-per-body", str(eps_file)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode != 0
+    assert "requires --algo exhaustive" in r.stderr

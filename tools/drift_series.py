@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Record the long-run energy-drift curve (the per-round physics record).
+
+The perf grid (tools/bench_grid.py -> bench/bench_grid_best.json) pins
+throughput per round; this pins the PHYSICS over time: a 500-step KDK
+run of a virialized-ish 10k-body cloud through the Barnes-Hut force,
+with |dE/E0| sampled every 25 steps.  A symplectic integrator's drift
+must stay bounded (oscillate, not grow) — the curve, not just the
+endpoint, is the contract, and tests/test_bench_gate.py gates the
+recorded file (max < 1e-3, no trend) so a regression in any force path
+or integrator shows up as a physics failure, not just a wrong number.
+
+The reference's analog is utils/check_error.py's error-growth polyfit
+over frames 30..101 (SURVEY.md §2.3); this is the same idea applied to
+the conserved quantity instead of a trajectory diff.
+
+Writes bench/drift_series.json: one JSON line per sample
+{"step": k, "drift": d, ...} plus a header line with the config.
+On CPU the sizes shrink (n=2000, 200 steps) — the record shipped in
+bench/ was produced on the TPU chip.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+
+def main() -> None:
+    from nbody_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from nbody_tpu.core.types import Bodies
+    from nbody_tpu.diag.energy import energy_drift, get_energy
+    from nbody_tpu.integrate.leapfrog import leapfrog_steps
+    from nbody_tpu.ops.barneshut import barneshut_accelerations
+    from nbody_tpu.ops.bh_fused import barneshut_fused
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    n = 10_000 if on_tpu else 2_000
+    total, stride = (500, 25) if on_tpu else (200, 25)
+    # Plummer equilibrium with t_dyn = sqrt(a^3 / GM) = 1: 500 steps of
+    # dt = 1e-3 integrate half a dynamical time of a self-bound cluster —
+    # a real stationarity test, unlike a cold cloud (which collapses and
+    # turns the run into a softening test)
+    dt = 1e-3
+    theta = 0.5
+    eps2 = 1e-4  # eps = a/100, well under the central interparticle gap
+    force = (
+        (lambda p, m: barneshut_fused(p, m, theta=theta, softening_sq=eps2))
+        if on_tpu
+        else (lambda p, m: barneshut_accelerations(
+            p, m, theta=theta, softening_sq=eps2))
+    )
+
+    from nbody_tpu.utils.fixtures import plummer_cloud
+
+    arr = plummer_cloud(n, seed=12, total_mass=1.0, G=1.0)
+    bodies = Bodies(
+        pos=jnp.asarray(arr[:, 0:3], jnp.float32),
+        vel=jnp.asarray(arr[:, 3:6], jnp.float32),
+        mass=jnp.asarray(arr[:, 6], jnp.float32),
+    )
+    ke0, pe0 = get_energy(bodies.pos, bodies.vel, bodies.mass, G=1.0)
+    e0 = float(ke0 + pe0)
+
+    out = os.path.join(os.path.dirname(__file__), "..", "bench",
+                       "drift_series.json")
+    lines = [json.dumps({
+        "config": {"n": n, "steps": total, "stride": stride, "dt": dt,
+                   "theta": theta, "algo": "barnes-hut",
+                   "integrator": "leapfrog",
+                   "backend": jax.default_backend()},
+        "e0": e0, "ke0": float(ke0), "pe0": float(pe0),
+    })]
+
+    acc = None
+    cur = bodies
+    for k in range(stride, total + 1, stride):
+        cur, acc = leapfrog_steps(cur, stride, dt, force, acc0=acc)
+        ke, pe = get_energy(cur.pos, cur.vel, cur.mass, G=1.0)
+        d = energy_drift(float(ke + pe), e0)
+        rec = {"step": k, "drift": d, "ke": float(ke), "pe": float(pe)}
+        print(json.dumps(rec), flush=True)
+        lines.append(json.dumps(rec))
+
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {os.path.normpath(out)}")
+
+
+if __name__ == "__main__":
+    main()
