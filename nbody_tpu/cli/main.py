@@ -71,6 +71,16 @@ def build_parser() -> argparse.ArgumentParser:
         "per-node softening classes are future work)",
     )
     p.add_argument(
+        "--adaptive-eta",
+        type=float,
+        default=0.0,
+        help="adaptive time stepping: dt = sqrt(2 eta eps / |a|_max) per "
+        "step, clipped to the positional delta_time as dt_max "
+        "(integrate/adaptive.py; beyond the reference's fixed dt).  "
+        "Needs --softening2 > 0 for the eps scale.  Unsharded leapfrog "
+        "runs only",
+    )
+    p.add_argument(
         "--merge-radius",
         type=float,
         default=0.0,
@@ -753,6 +763,26 @@ def main(argv=None) -> int:
                 v_out.astype(bodies.vel.dtype),
                 bodies.mass,
             )
+        elif args.adaptive_eta > 0:
+            from nbody_tpu.integrate.adaptive import simulate_adaptive
+
+            if args.shard or args.integrator != "leapfrog":
+                raise SystemExit(
+                    "--adaptive-eta requires an unsharded leapfrog run"
+                )
+            if args.merge_radius > 0:
+                raise SystemExit(
+                    "--adaptive-eta and --merge-radius cannot combine yet"
+                )
+            bodies, taken = simulate_adaptive(
+                bodies, t0, args.end_time, force,
+                eta=args.adaptive_eta,
+                softening_sq=args.softening2,
+                dt_max=dt,
+                chunk_steps=args.chunk_steps,
+                frame_writer=writer,
+            )
+            print(f"Adaptive steps taken: {taken}")
         else:
             merge_kw = {}
             if args.merge_radius > 0:
