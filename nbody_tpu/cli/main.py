@@ -67,8 +67,8 @@ def build_parser() -> argparse.ArgumentParser:
         help="per-body softening lengths eps_i, one per line (N lines); "
         "pairs soften with the symmetric mean (eps_i^2 + eps_j^2)/2 — a "
         "capability beyond the reference's single global value.  "
-        "Exhaustive jnp backend only (tree nodes aggregate bodies; "
-        "per-node softening classes are future work)",
+        "Exhaustive algorithm only, unsharded (tree nodes aggregate "
+        "bodies; per-node softening classes are future work)",
     )
     p.add_argument(
         "--adaptive-eta",
@@ -306,11 +306,10 @@ def build_force_fn(args, n: int):
 
     eps2_per_body = None
     if getattr(args, "softening_per_body", None):
-        if algo != "exhaustive" or args.shard or backend == "pallas":
+        if algo != "exhaustive" or args.shard:
             raise SystemExit(
-                "--softening-per-body requires --algo exhaustive with the "
-                "jnp backend, unsharded (got algo=%s backend=%s shard=%s)"
-                % (algo, backend, args.shard)
+                "--softening-per-body requires --algo exhaustive, "
+                "unsharded (got algo=%s shard=%s)" % (algo, args.shard)
             )
         import jax.numpy as jnp
 
@@ -354,6 +353,8 @@ def build_force_fn(args, n: int):
                 softening_sq=args.softening2,
                 **pallas_kw,
             )
+            if eps2_per_body is not None:
+                force = partial(force, eps2_per_body=eps2_per_body)
         else:
             from nbody_tpu.ops.exhaustive import exhaustive_accelerations
 

@@ -32,8 +32,15 @@ from jax.experimental.pallas import tpu as pltpu
 from nbody_tpu.core import constants
 
 
-def _pair_weights(pi_ref, pj_ref, eps2):
-    """The (BI, BJ) softened inverse-cube weight matrix and displacements."""
+def _pair_weights(pi_ref, pj_ref, eps2, per_body: bool):
+    """The (BI, BJ) softened inverse-cube weight matrix and displacements.
+
+    per_body: the softening rides the operands instead of a constant —
+    the i-side's otherwise-unused pad column 3 carries eps2_i/2 and the
+    j-side a 5th row with eps2_j/2 (both pre-halved at pack time), so
+    the symmetric-mean pairwise eps2 of ops/exhaustive._pair_eps2 costs
+    ONE extra broadcast add per pair and zero extra memory tiles (the
+    4->5 sublane dim was padding to 8 anyway)."""
     xi = pi_ref[:, 0:1]  # (BI, 1)
     yi = pi_ref[:, 1:2]
     zi = pi_ref[:, 2:3]
@@ -46,13 +53,15 @@ def _pair_weights(pi_ref, pj_ref, eps2):
     dx = xj - xi  # (BI, BJ)
     dy = yj - yi
     dz = zj - zi
+    if per_body:
+        eps2 = pi_ref[:, 3:4] + pj_ref[4:5, :]  # (BI, BJ) halves sum
     r2 = dx * dx + dy * dy + dz * dz + eps2
     inv_r = lax.rsqrt(r2)
     w = gmj * (inv_r * inv_r * inv_r)  # (BI, BJ)
     return w, dx, dy, dz
 
 
-def _kernel(pi_ref, pj_ref, out_ref, *, eps2: float):
+def _kernel(pi_ref, pj_ref, out_ref, *, eps2: float, per_body: bool):
     """VPU-only variant: three weighted lane reductions."""
     j = pl.program_id(1)
 
@@ -60,7 +69,7 @@ def _kernel(pi_ref, pj_ref, out_ref, *, eps2: float):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    w, dx, dy, dz = _pair_weights(pi_ref, pj_ref, eps2)
+    w, dx, dy, dz = _pair_weights(pi_ref, pj_ref, eps2, per_body)
     ax = jnp.sum(w * dx, axis=1, keepdims=True)  # (BI, 1)
     ay = jnp.sum(w * dy, axis=1, keepdims=True)
     az = jnp.sum(w * dz, axis=1, keepdims=True)
@@ -68,7 +77,8 @@ def _kernel(pi_ref, pj_ref, out_ref, *, eps2: float):
     out_ref[:] += acc
 
 
-def _kernel_mxu(pi_ref, pj_ref, pjt_ref, out_ref, *, eps2: float):
+def _kernel_mxu(pi_ref, pj_ref, pjt_ref, out_ref, *, eps2: float,
+                per_body: bool):
     """MXU variant: the weighted sums become one (BI,BJ)@(BJ,4) matmul.
 
     pjt_ref columns are [x, y, z, 1], so
@@ -85,7 +95,7 @@ def _kernel_mxu(pi_ref, pj_ref, pjt_ref, out_ref, *, eps2: float):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    w, _, _, _ = _pair_weights(pi_ref, pj_ref, eps2)
+    w, _, _, _ = _pair_weights(pi_ref, pj_ref, eps2, per_body)
     partial = jax.lax.dot_general(
         w,
         pjt_ref[:],
@@ -93,7 +103,9 @@ def _kernel_mxu(pi_ref, pj_ref, pjt_ref, out_ref, *, eps2: float):
         precision=lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )  # (BI, 4)
-    pos_i = pi_ref[:, :]  # (BI, 4); col 3 is zero padding
+    # col 3: zero padding, or eps2_i/2 in per_body mode — either way it
+    # only pollutes output column 3, which the wrapper drops ([:, :3])
+    pos_i = pi_ref[:, :]  # (BI, 4)
     out_ref[:] += partial - pos_i * partial[:, 3:4]
 
 
@@ -120,33 +132,49 @@ def pallas_rect_accelerations(
     block_j: int = 1024,
     use_mxu: bool = False,
     interpret: bool = False,
+    eps2_i: jax.Array | None = None,
+    eps2_all: jax.Array | None = None,
 ) -> jax.Array:
     """acc for each body in pos_i (Ni, 3) against all sources pos_j/mass_j.
 
     The rectangular form is the multi-chip building block: each chip owns an
     i-shard and streams the (all-gathered) j-side.  Returns (Ni, 3) f32.
+
+    `eps2_i` (Ni,) / `eps2_all` (Nj,) switch on symmetric-mean per-body
+    softening (must be given together; see _pair_weights).
     """
     ni, nj = pos_i.shape[0], pos_j.shape[0]
     dtype = jnp.float32
     pos_i = pos_i.astype(dtype)
+    if (eps2_i is None) != (eps2_all is None):
+        raise ValueError("eps2_i and eps2_all must be given together")
+    per_body = eps2_i is not None
 
     ni_p = max(block_i, ((ni + block_i - 1) // block_i) * block_i)
     nj_p = max(block_j, ((nj + block_j - 1) // block_j) * block_j)
 
-    # i-side (Ni, 4): x y z (pad col keeps sublane tiling happy)
-    pi = _pad_to(jnp.pad(pos_i, ((0, 0), (0, 1))), ni_p, axis=0)
-    # j-side (4, Nj): x y z Gm — padded sources have Gm = 0, hence inert.
-    gm = (jnp.asarray(G, dtype) * mass_j).astype(dtype)
-    pj = _pad_to(
-        jnp.concatenate([pos_j.astype(dtype).T, gm[None, :]], axis=0), nj_p, axis=1
+    # i-side (Ni, 4): x y z, then a pad col that keeps sublane tiling
+    # happy — or carries eps2_i/2 in per-body mode (kernel docstring)
+    icol = (
+        0.5 * eps2_i.astype(dtype)[:, None]
+        if per_body else jnp.zeros((ni, 1), dtype)
     )
+    pi = _pad_to(jnp.concatenate([pos_i, icol], axis=1), ni_p, axis=0)
+    # j-side (4|5, Nj): x y z Gm [eps2_j/2] — padded sources have Gm = 0,
+    # hence inert (any eps value is harmless on a zero-mass source).
+    gm = (jnp.asarray(G, dtype) * mass_j).astype(dtype)
+    jrows = [pos_j.astype(dtype).T, gm[None, :]]
+    if per_body:
+        jrows.append(0.5 * eps2_all.astype(dtype)[None, :])
+    pj = _pad_to(jnp.concatenate(jrows, axis=0), nj_p, axis=1)
+    jr = pj.shape[0]
 
     grid = (ni_p // block_i, nj_p // block_j)
     eps2 = float(softening_sq)
 
     in_specs = [
         pl.BlockSpec((block_i, 4), lambda i, j: (i, 0)),
-        pl.BlockSpec((4, block_j), lambda i, j: (0, j)),
+        pl.BlockSpec((jr, block_j), lambda i, j: (0, j)),
     ]
     operands = [pi, pj]
     if use_mxu:
@@ -160,9 +188,9 @@ def pallas_rect_accelerations(
         )
         in_specs.append(pl.BlockSpec((block_j, 4), lambda i, j: (j, 0)))
         operands.append(pjt)
-        kernel = functools.partial(_kernel_mxu, eps2=eps2)
+        kernel = functools.partial(_kernel_mxu, eps2=eps2, per_body=per_body)
     else:
-        kernel = functools.partial(_kernel, eps2=eps2)
+        kernel = functools.partial(_kernel, eps2=eps2, per_body=per_body)
 
     flops_per_pair = 20
     out = pl.pallas_call(
@@ -194,6 +222,7 @@ def pallas_accelerations(
     block_j: int = 1024,
     use_mxu: bool = False,
     interpret: bool = False,
+    eps2_per_body: jax.Array | None = None,
 ) -> jax.Array:
     """Square all-pairs accelerations (ForceFn signature)."""
     return pallas_rect_accelerations(
@@ -206,4 +235,6 @@ def pallas_accelerations(
         block_j=block_j,
         use_mxu=use_mxu,
         interpret=interpret,
+        eps2_i=eps2_per_body,
+        eps2_all=eps2_per_body,
     )

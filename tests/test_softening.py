@@ -140,3 +140,42 @@ def test_cli_flag(tmp_path):
     )
     assert r.returncode != 0
     assert "requires --algo exhaustive" in r.stderr
+
+
+@pytest.mark.parametrize("use_mxu", [False, True])
+def test_pallas_per_body_softening(use_mxu):
+    """The production Pallas kernel (interpret mode off-TPU): eps2_i/2
+    rides the i-side pad column, eps2_j/2 a 5th j-side row."""
+    from nbody_tpu.ops.pallas_exhaustive import pallas_accelerations
+
+    pos, mass, eps2 = _fixture(300, seed=9)
+    want = _oracle(pos, mass, eps2)
+    scale = np.abs(want).max()
+    got = pallas_accelerations(
+        jnp.asarray(pos, jnp.float32), jnp.asarray(mass, jnp.float32),
+        G=1.0, block_i=128, block_j=128, use_mxu=use_mxu,
+        interpret=True,
+        eps2_per_body=jnp.asarray(eps2, jnp.float32),
+    )
+    err = np.abs(np.asarray(got) - want).max() / scale
+    # mxu re-association (W@P - p_i*rowsum) cancels at fp32 like the jnp
+    # mxu mode; the VPU variant computes displacements exactly
+    assert err < (2e-3 if use_mxu else 5e-5), (use_mxu, err)
+
+
+def test_pallas_scalar_path_unchanged():
+    from nbody_tpu.ops.pallas_exhaustive import pallas_accelerations
+
+    pos, mass, _ = _fixture(300, seed=10)
+    s = 3e-3
+    d = pos[None] - pos[:, None]
+    r2 = (d * d).sum(-1) + s
+    w = r2 ** -1.5 * mass[None]
+    np.fill_diagonal(w, 0.0)
+    want = np.einsum("ij,ijk->ik", w, d)
+    got = pallas_accelerations(
+        jnp.asarray(pos, jnp.float32), jnp.asarray(mass, jnp.float32),
+        G=1.0, softening_sq=s, block_i=128, block_j=128, interpret=True,
+    )
+    err = np.abs(np.asarray(got) - want).max() / np.abs(want).max()
+    assert err < 5e-5, err
