@@ -71,6 +71,24 @@ def build_parser() -> argparse.ArgumentParser:
         "bodies; per-node softening classes are future work)",
     )
     p.add_argument(
+        "--block-tiers",
+        type=int,
+        default=1,
+        help="tiered block time steps on the persistent path (needs "
+        "--resort-every): per-GROUP dt tiers dt/2^k, k < BLOCK_TIERS, "
+        "reassigned from the acceleration scale at every resort — only "
+        "hot Morton groups pay fine steps (ops/bh_persistent.py "
+        "kdk_block_steps; beyond the reference and beyond global "
+        "adaptive dt)",
+    )
+    p.add_argument(
+        "--block-eta",
+        type=float,
+        default=0.025,
+        help="tier criterion accuracy: dt_k <= sqrt(2 eta eps / |a|max) "
+        "per group (with --block-tiers)",
+    )
+    p.add_argument(
         "--adaptive-eta",
         type=float,
         default=0.0,
@@ -681,6 +699,11 @@ def main(argv=None) -> int:
             "path with the KDK integrator; ignoring",
             file=sys.stderr,
         )
+    if args.block_tiers > 1 and (not persistent or args.shard):
+        raise SystemExit(
+            "--block-tiers requires the unsharded persistent path "
+            "(--resort-every with the fused Barnes-Hut KDK integrator)"
+        )
     if args.merge_radius > 0 and (args.shard or persistent):
         raise SystemExit(
             "--merge-radius requires an unsharded, non-persistent run "
@@ -756,6 +779,8 @@ def main(argv=None) -> int:
                 checkpoint_fn=checkpoint_fn,
                 progress_every=args.progress,
                 progress_fn=progress_fn,
+                block_tiers=max(1, args.block_tiers),
+                block_eta=args.block_eta,
                 **{k: v for k, v in bh_kw.items()
                    if k in ("group_size", "leaf_cap")},
             )

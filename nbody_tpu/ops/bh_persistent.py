@@ -401,6 +401,117 @@ def prime(state: GroupState, **force_kw) -> GroupState:
     return state._replace(acc=state_forces(state, **force_kw))
 
 
+# ---------------------------------------------------------------------------
+# Block (tiered) time steps — beyond the reference AND beyond global
+# adaptive dt: per-GROUP step tiers on the persistent layout.
+#
+# Morton groups are spatially coherent, so a group's acceleration scale
+# is coherent too: a tight cluster core needs dt/4 while the field is
+# happy at dt.  Global adaptive dt (integrate/adaptive.py) makes EVERY
+# body pay the core's step; block steps make only the core pay it.
+#
+# TPU shape discipline: the active set changes per sub-step, but the
+# fused kernel already skips gcount = 0 groups almost for free (the
+# traversal sits behind a pl.when and an empty group costs only its
+# block-pipeline slot).  So "evaluate only the active tier" is ONE
+# masked gcount — no dynamic shapes, no recompiles, and the inactive
+# groups' acc rides the scan carry unchanged.
+# ---------------------------------------------------------------------------
+
+
+def assign_tiers(state: GroupState, dt, *, eta: float, eps: float,
+                 n_tiers: int):
+    """(G,) i32 tier per group: k such that dt / 2^k meets the
+    sqrt(2 eta eps / |a|_max) criterion (integrate/adaptive.py), from
+    the per-group acceleration scale in state.acc.  Tier 0 = full dt,
+    tier n_tiers-1 = dt / 2^(n_tiers-1)."""
+    a2 = jnp.sum(state.acc * state.acc, axis=1)  # (G, B)
+    amax = jnp.sqrt(jnp.max(jnp.where(state.valid, a2, 0.0), axis=1))
+    dt_req = jnp.sqrt(2.0 * eta * eps / jnp.maximum(amax, 1e-30))
+    k = jnp.ceil(jnp.log2(jnp.maximum(dt / dt_req, 1e-30)))
+    return jnp.clip(k, 0, n_tiers - 1).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_macro", "n_tiers", "theta", "softening_sq", "leaf_cap", "ld",
+        "burst_rows", "interpret", "with_history",
+    ),
+)
+def kdk_block_steps(
+    state: GroupState,
+    tiers,
+    n_macro: int,
+    dt,
+    *,
+    n_tiers: int,
+    theta: float,
+    softening_sq: float,
+    leaf_cap: int,
+    ld: int,
+    burst_rows: int = 16,
+    interpret: bool = False,
+    with_history: bool = False,
+):
+    """`n_macro` macro steps of dt with per-group tiers (synchronized
+    block KDK, the standard hierarchical leapfrog):
+
+      * every body DRIFTS every finest sub-step h = dt / 2^(n_tiers-1)
+        with its current velocity (a tier-k body's velocity is constant
+        between its own kicks, so its L·h of drifts compose to exactly
+        its dt_k drift);
+      * a tier-k group KICKS with dt_k/2 at the boundaries of its own
+        L = 2^(n_tiers-1-k)-sub-step intervals, with a force evaluated
+        exactly there — via the masked-gcount kernel call, which prices
+        each sub-step at (active fraction) of a full eval plus the ft
+        rebuild;
+      * the float tree rebuilds every sub-step, so every force (even a
+        coarse group's) sees sub-step-current source positions.
+
+    state.acc must hold force(current positions) at a macro boundary
+    (prime()).  With with_history, also returns the (n_macro, G, B, 3)
+    post-drift positions at MACRO boundaries (the frame contract).
+    """
+    s_per = 1 << (n_tiers - 1)
+    h = jnp.asarray(dt, jnp.float32) / s_per
+    big_l = (s_per >> tiers).astype(jnp.int32)  # (G,) sub-steps per own step
+    half_own = big_l.astype(jnp.float32)[:, None, None] * (h * 0.5)
+
+    force = functools.partial(
+        state_forces, theta=theta, softening_sq=softening_sq,
+        leaf_cap=leaf_cap, ld=ld, burst_rows=burst_rows,
+        interpret=interpret,
+    )
+
+    def sub(carry, s):
+        st = carry
+        opening = (s % big_l == 0)[:, None, None]
+        vel = st.vel + st.acc * jnp.where(opening, half_own, 0.0)
+        pg = st.pg.at[:, :3, :].add(vel * h)
+        st = st._replace(pg=pg, vel=vel)
+
+        closing = (s + 1) % big_l == 0  # (G,)
+        acc_new = force(st._replace(
+            gcount=jnp.where(closing, st.gcount, 0)
+        ))
+        cl3 = closing[:, None, None]
+        acc = jnp.where(cl3, acc_new, st.acc)
+        st = st._replace(
+            vel=st.vel + acc * jnp.where(cl3, half_own, 0.0), acc=acc
+        )
+        emit = pg[:, :3, :] if with_history else None
+        return st, emit
+
+    state, hist = lax.scan(
+        sub, state, jnp.arange(n_macro * s_per, dtype=jnp.int32)
+    )
+    if with_history:
+        # macro-boundary frames only (the last sub-step of each macro)
+        return state, hist[s_per - 1 :: s_per]
+    return state
+
+
 def emit(state: GroupState, n: int):
     """(pos, vel) back in the original body order (for output frames)."""
     g, _, b = state.pg.shape
@@ -444,9 +555,14 @@ def simulate_persistent(
     checkpoint_fn=None,
     progress_every: int = 0,
     progress_fn=None,
+    block_tiers: int = 1,
+    block_eta: float = 0.025,
 ):
     """Run n_steps with periodic resorts; returns (pos, vel) in original
-    order.  The chunked python loop mirrors integrate/leapfrog.simulate;
+    order.  `block_tiers > 1` switches to tiered block time steps
+    (kdk_block_steps): n_steps counts MACRO steps of dt, per-group tiers
+    reassigned from the acceleration scale at every resort boundary.
+    The chunked python loop mirrors integrate/leapfrog.simulate;
     resorts land on chunk boundaries.  `frame_writer` receives the
     initial frame then one (T, N, 3) original-order chunk per scan chunk
     (frames are routed through state.orig on the host — the device never
@@ -471,6 +587,15 @@ def simulate_persistent(
     )
     state = init_state(pos, vel, mass, G=G, group_size=group_size)
     state = prime(state, **fkw)
+    block = block_tiers > 1
+    if block and softening_sq <= 0:
+        raise ValueError("block tiers need softening_sq > 0 (the eps scale)")
+    tiers = None
+    if block:
+        tiers = assign_tiers(
+            state, dt, eta=block_eta, eps=math.sqrt(softening_sq),
+            n_tiers=block_tiers,
+        )
     if frame_writer is not None:
         frame_writer(np.asarray(pos, np.float32)[None])
 
@@ -499,7 +624,18 @@ def simulate_persistent(
         if progress_every > 0:
             next_prog = ((done // progress_every) + 1) * progress_every
             t = min(t, next_prog - done)
-        if frame_writer is not None:
+        if block:
+            if frame_writer is not None:
+                state, hist = kdk_block_steps(
+                    state, tiers, t, dt, n_tiers=block_tiers,
+                    with_history=True, **fkw
+                )
+                flush_frames(state, hist)
+            else:
+                state = kdk_block_steps(
+                    state, tiers, t, dt, n_tiers=block_tiers, **fkw
+                )
+        elif frame_writer is not None:
             state, hist = kdk_steps(
                 state, t, dt, with_history=True, **fkw
             )
@@ -526,6 +662,11 @@ def simulate_persistent(
         if done < n_steps:
             # pure relabeling: acc rides the permutation, no re-prime
             state = resort(state, n, group_size)
+            if block:
+                tiers = assign_tiers(
+                    state, dt, eta=block_eta, eps=math.sqrt(softening_sq),
+                    n_tiers=block_tiers,
+                )
     p_out, v_out = emit(state, n)
     np.asarray(p_out[:1])  # device fence (see integrate/leapfrog.simulate)
     return p_out, v_out
