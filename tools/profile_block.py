@@ -40,7 +40,25 @@ def main() -> None:
     eta = 0.01
     macro = 4
 
-    arr = plummer_cloud(n, seed=3, total_mass=1.0, G=1.0)
+    if "--stratified" in sys.argv:
+        # the block-step win regime: a tight hot core embedded in a wide
+        # cold halo — per-group acceleration scales stratify across
+        # Morton groups instead of collapsing (docs/PERFORMANCE.md)
+        rng = np.random.default_rng(3)
+        nc = n // 10
+        core = plummer_cloud(nc, seed=3, total_mass=0.5, G=1.0)
+        core[:, 0:3] *= 0.05
+        core[:, 3:6] *= math.sqrt(1.0 / 0.05)  # rescaled virial speeds
+        u = rng.normal(size=(n - nc, 3))
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+        r = 10.0 * rng.uniform(0.2, 1.0, n - nc)[:, None] ** (1 / 3)
+        halo = np.concatenate(
+            [u * r, rng.normal(0, 0.05, (n - nc, 3)),
+             np.full((n - nc, 1), 0.5 / (n - nc))], axis=1,
+        )
+        arr = np.concatenate([core, halo], axis=0)
+    else:
+        arr = plummer_cloud(n, seed=3, total_mass=1.0, G=1.0)
     _, ld, _, _ = bp._layout(n, gs)
     fkw = dict(theta=0.5, softening_sq=eps2, leaf_cap=64, ld=ld,
                interpret=interpret)
