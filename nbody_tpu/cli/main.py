@@ -71,6 +71,16 @@ def build_parser() -> argparse.ArgumentParser:
         "bodies; per-node softening classes are future work)",
     )
     p.add_argument(
+        "--bh-robust",
+        choices=["auto", "on", "off"],
+        default="auto",
+        help="exact outlier hybrid for the fused Barnes-Hut path: size "
+        "the root cube ignoring the ~n/512 most distant bodies and add "
+        "their forces with one exact (N, K) rectangle — a few escapers "
+        "otherwise collapse the whole system into one terminal cell "
+        "(auto: engage when the full/robust border ratio exceeds 4)",
+    )
+    p.add_argument(
         "--block-tiers",
         type=int,
         default=1,
@@ -423,11 +433,15 @@ def build_force_fn(args, n: int):
                 **bh_kw,
             )
         elif traversal == "fused":
-            from nbody_tpu.ops.bh_fused import barneshut_fused
+            from nbody_tpu.ops.bh_fused import (
+                barneshut_fused,
+                barneshut_fused_robust,
+            )
 
             fused_kw = _fused_kwargs(args)
+            fn = barneshut_fused_robust if args.bh_robust else barneshut_fused
             force = partial(
-                barneshut_fused,
+                fn,
                 G=args.G,
                 softening_sq=args.softening2,
                 theta=args.theta,
@@ -435,7 +449,7 @@ def build_force_fn(args, n: int):
                 interpret=not on_tpu,
                 **fused_kw,
             )
-            backend = f"{backend}/fused"
+            backend = f"{backend}/fused" + ("/robust" if args.bh_robust else "")
         else:
             from nbody_tpu.ops.barneshut import barneshut_accelerations
 
@@ -504,6 +518,30 @@ def main(argv=None) -> int:
     n_steps = max(0, SimConfig.n_steps(t0, args.end_time, args.delta_time))
 
     n_real = bodies.n
+    # resolve --bh-robust auto: engage the exact outlier hybrid when the
+    # full bounding cube dwarfs the robust one (a handful of escapers
+    # would otherwise collapse ~all bodies into one terminal cell —
+    # ops/bh_fused.barneshut_fused_robust docstring)
+    if args.bh_robust == "auto":
+        pos_np = arr[:, 0:3]
+        center = np.median(pos_np, axis=0)
+        d = np.abs(pos_np - center).max(axis=1)
+        k = max(128, bodies.n // 512)
+        if bodies.n > k:
+            d_k = np.partition(d, bodies.n - k - 1)[bodies.n - k - 1]
+            full = np.abs(pos_np).max()
+            args.bh_robust = bool(full > 4.0 * max(d_k, 1e-30))
+        else:
+            args.bh_robust = False
+        if args.bh_robust:
+            print(
+                "note: outlier-dominated bounding box detected "
+                f"(full/robust border ratio {full / max(d_k, 1e-30):.0f}); "
+                "enabling --bh-robust on (exact hybrid)",
+                file=sys.stderr,
+            )
+    else:
+        args.bh_robust = args.bh_robust == "on"
     force, algo, backend = build_force_fn(args, bodies.n)
 
     if algo == "barnes-hut" and not args.no_capacity_check:
@@ -697,6 +735,13 @@ def main(argv=None) -> int:
         print(
             "warning: --resort-every requires the fused Barnes-Hut "
             "path with the KDK integrator; ignoring",
+            file=sys.stderr,
+        )
+    if args.bh_robust and (persistent or args.shard):
+        print(
+            "warning: --bh-robust applies to the unsharded one-shot fused "
+            "path only; the persistent/sharded layouts keep the full "
+            "bounding cube (outlier-heavy inputs will run slowly there)",
             file=sys.stderr,
         )
     if args.block_tiers > 1 and (not persistent or args.shard):

@@ -60,14 +60,20 @@ def morton_encode(pos: jax.Array, border: jax.Array, depth: int) -> jax.Array:
     return key.astype(jnp.int32)  # < 2^30, sign bit clear
 
 
-def morton_sort(pos: jax.Array, depth: int):
+def morton_sort(pos: jax.Array, depth: int, border: jax.Array | None = None):
     """(perm, keys, border): permutation sorting bodies by Morton key.
 
     The CUDA analog is sort_ents (cuda/barnes-hut.cu:459-488), which ranks
     bodies by in-order tree position each step for traversal locality; a
     Morton sort is the same ordering computed without the tree.
+
+    `border` overrides the bounding cube (outlier-robust mode,
+    ops/bh_fused.barneshut_fused_robust): morton_encode clips
+    out-of-cube positions into edge cells, so a smaller border simply
+    coarse-bins the outliers.
     """
-    border = bounding_border(pos)
+    if border is None:
+        border = bounding_border(pos)
     keys = morton_encode(pos, border, depth)
     perm = jnp.argsort(keys)
     return perm, keys, border

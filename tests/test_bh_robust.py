@@ -1,0 +1,126 @@
+"""Outlier-robust fused Barnes-Hut (bh_fused.barneshut_fused_robust).
+
+The pathology: one escaper at r ~ 1000 inflates the root cube until a
+single terminal cell holds ~all bodies and the near-field degenerates
+to O(N^2) (measured at 1M, docs/PERFORMANCE.md).  The robust hybrid
+must stay EXACT — matching the fp64 oracle within the theta envelope on
+outlier-laden inputs — and agree with the plain kernel on clean ones.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.oracle import accel_exhaustive
+from nbody_tpu.ops.bh_fused import barneshut_fused, barneshut_fused_robust
+
+
+def _cloud_with_outliers(n=700, n_out=6, seed=0, r_out=300.0):
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(-2, 2, (n, 3))
+    mass = rng.uniform(0.04, 1.0, n)
+    # fling a few bodies far out (escapers / ejected binaries)
+    u = rng.normal(size=(n_out, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    pos[:n_out] = u * r_out * rng.uniform(0.5, 1.0, (n_out, 1))
+    return pos, mass
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_robust_matches_oracle_with_outliers(seed):
+    pos_np, mass_np = _cloud_with_outliers(seed=seed)
+    want = accel_exhaustive(pos_np, mass_np)
+    scale = np.abs(want).max()
+    acc, stats = barneshut_fused_robust(
+        jnp.asarray(pos_np, jnp.float32), jnp.asarray(mass_np, jnp.float32),
+        theta=0.5, group_size=128, outlier_slots=32, ld=3, interpret=True,
+        return_stats=True,
+    )
+    assert int(stats["frontier_overflow"]) == 0
+    err = np.abs(np.asarray(acc) - want).max() / scale
+    assert err < 0.02, err
+    # the outliers themselves get accurate forces too (tiny magnitudes:
+    # check relative to each body's own force scale)
+    own = np.abs(want[:6]).max(axis=1)
+    err_out = np.abs(np.asarray(acc)[:6] - want[:6]).max(axis=1) / own
+    assert err_out.max() < 0.02, err_out
+
+
+@pytest.mark.slow
+def test_robust_shrinks_the_box():
+    """With outliers, the robust near volume must be far below the plain
+    kernel's degenerate O(N^2) (the whole point).  Explicit ld=5: at
+    auto_ld's tiny-n depth every cell is near on BOTH paths and the
+    contrast cannot show.  `-m slow`: ~8 min of interpret-mode near
+    emulation."""
+    pos_np, mass_np = _cloud_with_outliers(n=2000, seed=2)
+    p = jnp.asarray(pos_np, jnp.float32)
+    m = jnp.asarray(mass_np, jnp.float32)
+    _, st_plain = barneshut_fused(
+        p, m, theta=0.5, group_size=128, ld=5, interpret=True,
+        return_stats=True,
+    )
+    # plain: the r~300 escapers blow the cube up; the whole cloud sits
+    # inside one terminal cell -> every group ships ~everything
+    assert int(st_plain["near_bodies"]) > 0.9 * 2000 * (2000 // 128)
+    _, st_rob = barneshut_fused_robust(
+        p, m, theta=0.5, group_size=128, ld=5, outlier_slots=32,
+        interpret=True, return_stats=True,
+    )
+    # at interpret-scale n the group AABBs span a big fraction of the
+    # cloud, so the contrast is geometric-limited (~0.68 measured at
+    # n=2000); the at-scale contrast is the 1M Plummer measurement in
+    # docs/PERFORMANCE.md (981M -> ~30M near bodies).  This guards the
+    # mechanism, not the full ratio.
+    assert int(st_rob["near_bodies"]) < 0.75 * int(st_plain["near_bodies"]), (
+        int(st_rob["near_bodies"]), int(st_plain["near_bodies"]),
+    )
+
+
+def test_robust_matches_plain_on_clean_input():
+    """No outliers: the top-K bodies just move from the tree to the
+    exact rectangle — forces agree with the plain kernel within the
+    theta envelope (they are not bitwise: the border differs)."""
+    rng = np.random.default_rng(5)
+    n = 600
+    pos = jnp.asarray(rng.uniform(-2, 2, (n, 3)), jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.04, 1.0, n), jnp.float32)
+    a_plain = barneshut_fused(pos, mass, theta=0.5, group_size=128,
+                              interpret=True)
+    a_rob = barneshut_fused_robust(pos, mass, theta=0.5, group_size=128,
+                                   outlier_slots=32, ld=3, interpret=True)
+    scale = float(jnp.abs(a_plain).max())
+    err = float(jnp.abs(a_plain - a_rob).max()) / scale
+    assert err < 0.02, err
+
+
+def test_cli_auto_detects_outliers(tmp_path):
+    """The CLI's --bh-robust auto detection: an outlier-laden input
+    engages the hybrid (note on stderr), a clean one does not."""
+    import subprocess
+    import sys as _sys
+
+    pos, mass = _cloud_with_outliers(n=300, seed=3)
+    rng = np.random.default_rng(3)
+    vel = rng.uniform(-0.1, 0.1, (300, 3))
+    inp = tmp_path / "in.csv"
+    np.savetxt(inp, np.concatenate([pos, vel, mass[:, None]], axis=1),
+               delimiter=",")
+    out = tmp_path / "out.csv"
+    r = subprocess.run(
+        [_sys.executable, "-m", "nbody_tpu", str(inp), "0", "0.2", "0.1",
+         str(out), "--algo", "barnes-hut", "--bh-traversal", "fused"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "enabling --bh-robust" in r.stderr
+    assert "fused/robust" in r.stdout
+    # clean input: no engagement
+    r = subprocess.run(
+        [_sys.executable, "-m", "nbody_tpu", "tests/data/100_bodies_g1.csv",
+         "0", "0.2", "0.1", str(out), "--algo", "barnes-hut",
+         "--bh-traversal", "fused"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "enabling --bh-robust" not in r.stderr
