@@ -522,7 +522,12 @@ def main(argv=None) -> int:
     # full bounding cube dwarfs the robust one (a handful of escapers
     # would otherwise collapse ~all bodies into one terminal cell —
     # ops/bh_fused.barneshut_fused_robust docstring)
-    if args.bh_robust == "auto":
+    algo_will_be_bh = args.algo == "barnes-hut" or (
+        args.algo == "auto" and bodies.n > 32768
+    )
+    if args.bh_robust == "auto" and not algo_will_be_bh:
+        args.bh_robust = False
+    elif args.bh_robust == "auto":
         pos_np = arr[:, 0:3]
         center = np.median(pos_np, axis=0)
         d = np.abs(pos_np - center).max(axis=1)
