@@ -562,9 +562,9 @@ def main(argv=None) -> int:
         )
 
         try:
-            if backend.endswith("/fused") and args.shard:
+            if "/fused" in backend and args.shard:
                 pass  # probed on the sharded state after shard_bodies below
-            elif backend.endswith("/fused"):
+            elif "/fused" in backend:
                 import jax as _jax
 
                 from nbody_tpu.ops.bh_fused import check_fused
@@ -572,6 +572,7 @@ def main(argv=None) -> int:
                 check_fused(
                     bodies.pos,
                     bodies.mass,
+                    robust=args.bh_robust,
                     G=args.G,
                     softening_sq=args.softening2,
                     theta=args.theta,
@@ -733,7 +734,7 @@ def main(argv=None) -> int:
     persistent = (
         args.resort_every > 0
         and algo == "barnes-hut"
-        and backend.endswith("/fused")
+        and "/fused" in backend
         and args.integrator == "leapfrog"
     )
     if args.resort_every > 0 and not persistent:
@@ -742,11 +743,11 @@ def main(argv=None) -> int:
             "path with the KDK integrator; ignoring",
             file=sys.stderr,
         )
-    if args.bh_robust and (persistent or args.shard):
+    if args.bh_robust and args.shard:
         print(
-            "warning: --bh-robust applies to the unsharded one-shot fused "
-            "path only; the persistent/sharded layouts keep the full "
-            "bounding cube (outlier-heavy inputs will run slowly there)",
+            "warning: --bh-robust is not wired into the sharded layouts "
+            "yet; they keep the full bounding cube (outlier-heavy inputs "
+            "will run slowly there)",
             file=sys.stderr,
         )
     if args.block_tiers > 1 and (not persistent or args.shard):
@@ -831,6 +832,9 @@ def main(argv=None) -> int:
                 progress_fn=progress_fn,
                 block_tiers=max(1, args.block_tiers),
                 block_eta=args.block_eta,
+                robust_slots=(
+                    max(128, bodies.n // 512) if args.bh_robust else 0
+                ),
                 **{k: v for k, v in bh_kw.items()
                    if k in ("group_size", "leaf_cap")},
             )

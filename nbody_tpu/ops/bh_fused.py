@@ -913,7 +913,7 @@ def barneshut_fused(
     return acc
 
 
-def check_fused(pos, mass, **kw):
+def check_fused(pos, mass, robust: bool = False, **kw):
     """Fail-fast probe for the fused path (the analog of
     barneshut.check_capacities): one force eval, raising CapacityError if
     the BFS frontier overflowed or occupied groups were trimmed — the only
@@ -921,11 +921,14 @@ def check_fused(pos, mass, **kw):
     The overflow stats carry the MEASURED requirement, so the message
     prescribes the exact flag value that fits (the TPU counterpart of the
     reference's free-VRAM pool sizing, cuda/barnes-hut.cu:886-890).
+    `robust` probes through barneshut_fused_robust instead, so an
+    outlier-heavy run is checked against the cube it will actually use.
     Returns the stats dict."""
     from nbody_tpu.core import capacity as _cap
     from nbody_tpu.ops.barneshut import CapacityError
 
-    _, stats = barneshut_fused(pos, mass, return_stats=True, **kw)
+    fn = barneshut_fused_robust if robust else barneshut_fused
+    _, stats = fn(pos, mass, return_stats=True, **kw)
     fovf = int(stats["frontier_overflow"])
     trimmed = int(stats["trimmed_groups"])
     fixes = []

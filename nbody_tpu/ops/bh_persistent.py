@@ -92,11 +92,17 @@ class GroupState(NamedTuple):
     bsq: jax.Array
     border: jax.Array
     acc: jax.Array
+    # outlier-robust mode (None when off): the K most-distant bodies
+    # ride the layout with pg gm = 0; their true G*mass lives here and
+    # state_forces adds their exact (M, K) rectangle per step
+    out_slots: jax.Array | None = None
+    out_gm: jax.Array | None = None
 
 
-def _layout(n: int, group_size: int):
+def _layout(n: int, group_size: int, ld: int | None = None):
     b = group_size
-    ld = auto_ld(n)
+    if ld is None:
+        ld = auto_ld(n)
     sl = auto_split_level(n, b)
     # exact static bound: every split-level cell adds at most one partial
     # chunk (group_bodies' own capacity) — no compaction, no trim risk
@@ -164,23 +170,47 @@ def _ft_from_state(pg, nid, ld: int):
     return pack_ft(tree, ld)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "group_size"))
-def _resort(pos_f, vel_f, acc_f, gm_f, orig_f, n: int, group_size: int):
+@functools.partial(
+    jax.jit, static_argnames=("n", "group_size", "robust_slots", "ld")
+)
+def _resort(pos_f, vel_f, acc_f, gm_f, orig_f, n: int, group_size: int,
+            robust_slots: int = 0, ld: int | None = None):
     """Full resort from flattened (M,)-shaped candidate arrays (pads carry
     gm = 0 and orig = n) into a fresh GroupState.  Used both for the
     initial build (M = N) and periodic resorts (M = G*B).  acc rides the
     same permutation: a resort is a pure relabeling, so the KDK carry
-    stays valid and no extra force evaluation is needed afterwards."""
+    stays valid and no extra force evaluation is needed afterwards.
+
+    robust_slots > 0 switches on the outlier-robust scheme of
+    bh_fused.barneshut_fused_robust on the persistent layout: the root
+    cube is sized by the (K+1)-th largest distance from the median
+    center, the K most-distant bodies ride the layout ZERO-MASSED (their
+    true G*mass stashed in state.out_gm, restored at the next resort),
+    and state_forces adds their source contribution back with one exact
+    (M, K) rectangle per step.  Exact, static shapes, MAC-sound (every
+    massive body lies inside its nominal cell)."""
     from nbody_tpu.ops.barneshut import group_bodies
 
-    b, ld, sl, g_cap = _layout(n, group_size)
+    b, ld, sl, g_cap = _layout(n, group_size, ld)
     m_in = pos_f.shape[0]
     k_terminal = 8**ld
 
     real_in = orig_f < n
-    border = bounding_border(
-        jnp.where(real_in[:, None], pos_f, 0.0)
-    ).astype(jnp.float32)
+    if robust_slots > 0:
+        k_out = min(int(robust_slots), n - 1)
+        center = jnp.median(pos_f.astype(jnp.float32), axis=0)
+        d_in = jnp.where(
+            real_in,
+            jnp.max(jnp.abs(pos_f.astype(jnp.float32) - center), axis=1),
+            -1.0,
+        )
+        vals = lax.top_k(d_in, k_out + 1)[0]
+        border = (2.0 * vals[k_out] * 1.0001).astype(jnp.float32)
+    else:
+        center = None
+        border = bounding_border(
+            jnp.where(real_in[:, None], pos_f, 0.0)
+        ).astype(jnp.float32)
     keys = morton_encode(pos_f, border, _DEPTH)
     keys = jnp.where(real_in, keys, _SENT_KEY)
     order = jnp.argsort(keys)
@@ -273,6 +303,24 @@ def _resort(pos_f, vel_f, acc_f, gm_f, orig_f, n: int, group_size: int):
 
     lev = jnp.arange(16, dtype=jnp.float32)
     bsq = (border / jnp.exp2(lev)) ** 2
+
+    out_slots = out_gm = None
+    if robust_slots > 0:
+        # slot-space twin of the input-space selection: the K most
+        # distant VALID slots are exactly the K most distant real bodies
+        # (pads are excluded by the -1 mask and carry gm = 0 already)
+        pgq = jnp.transpose(pg[:, :3, :], (0, 2, 1)).reshape(g_cap * b, 3)
+        d_slot = jnp.where(
+            group_valid.reshape(g_cap * b),
+            jnp.max(jnp.abs(pgq - center), axis=1),
+            -1.0,
+        )
+        out_slots = lax.top_k(d_slot, k_out)[1].astype(jnp.int32)
+        gm_flat = pg[:, 3, :].reshape(g_cap * b)
+        out_gm = gm_flat[out_slots]
+        gm_flat = gm_flat.at[out_slots].set(0.0)
+        pg = pg.at[:, 3, :].set(gm_flat.reshape(g_cap, b))
+
     return GroupState(
         pg=pg,
         vel=vel_g,
@@ -284,6 +332,8 @@ def _resort(pos_f, vel_f, acc_f, gm_f, orig_f, n: int, group_size: int):
         bsq=bsq,
         border=border,
         acc=acc_g,
+        out_slots=out_slots,
+        out_gm=out_gm,
     )
 
 
@@ -294,6 +344,8 @@ def init_state(
     *,
     G: float = constants.BIG_G,
     group_size: int = 1024,
+    robust_slots: int = 0,
+    ld: int | None = None,
 ) -> GroupState:
     """Build the persistent state from (N, 3)/(N,) body arrays."""
     n = pos.shape[0]
@@ -302,22 +354,28 @@ def init_state(
     return _resort(
         pos.astype(jnp.float32), vel.astype(jnp.float32),
         jnp.zeros((n, 3), jnp.float32), gm, orig,
-        n=n, group_size=group_size,
+        n=n, group_size=group_size, robust_slots=robust_slots, ld=ld,
     )
 
 
-def resort(state: GroupState, n: int, group_size: int) -> GroupState:
+def resort(state: GroupState, n: int, group_size: int,
+           robust_slots: int = 0, ld: int | None = None) -> GroupState:
     """Periodic resort: flatten the group layout and rebuild."""
     g, _, b = state.pg.shape
     m = g * b
     # pads carry gm = 0 / orig = n already; resort keeps them inert
+    gm_flat = jnp.where(state.valid, state.pg[:, 3, :], 0.0).reshape(m)
+    if state.out_gm is not None:
+        # restore the outliers' true G*mass before rebuilding — the
+        # layout stores 0 for them (robust mode)
+        gm_flat = gm_flat.at[state.out_slots].set(state.out_gm)
     return _resort(
         jnp.transpose(state.pg[:, :3, :], (0, 2, 1)).reshape(m, 3),
         jnp.transpose(state.vel, (0, 2, 1)).reshape(m, 3),
         jnp.transpose(state.acc, (0, 2, 1)).reshape(m, 3),
-        jnp.where(state.valid, state.pg[:, 3, :], 0.0).reshape(m),
+        gm_flat,
         state.orig.reshape(m),
-        n=n, group_size=group_size,
+        n=n, group_size=group_size, robust_slots=robust_slots, ld=ld,
     )
 
 
@@ -342,6 +400,23 @@ def state_forces(
         theta=theta, eps2=softening_sq, leaf_cap=leaf_cap, ld=ld,
         burst_rows=burst_rows, interpret=interpret,
     )
+    if state.out_gm is not None:
+        # robust mode: the K outliers ride the layout zero-massed; add
+        # their source contribution with one exact (M, K) rectangle
+        # (their CURRENT positions gathered from the layout).  G is
+        # already folded into out_gm.
+        from nbody_tpu.ops.exhaustive import rect_accelerations
+
+        m = g * b
+        targets = jnp.transpose(state.pg[:, :3, :], (0, 2, 1)).reshape(m, 3)
+        src = targets[state.out_slots]
+        side = rect_accelerations(
+            targets, src, state.out_gm,
+            G=1.0, softening_sq=softening_sq, mode="chunked",
+        )
+        acc_g = acc_g + jnp.transpose(
+            side.reshape(g, b, 3), (0, 2, 1)
+        ).astype(acc_g.dtype)
     return acc_g
 
 
@@ -557,9 +632,13 @@ def simulate_persistent(
     progress_fn=None,
     block_tiers: int = 1,
     block_eta: float = 0.025,
+    robust_slots: int = 0,
 ):
     """Run n_steps with periodic resorts; returns (pos, vel) in original
-    order.  `block_tiers > 1` switches to tiered block time steps
+    order.  `robust_slots > 0` enables the outlier-robust scheme on this
+    layout (_resort docstring; the grid also deepens to auto_ld + 2,
+    max 8, since the sane cube can afford the levels).
+    `block_tiers > 1` switches to tiered block time steps
     (kdk_block_steps): n_steps counts MACRO steps of dt, per-group tiers
     reassigned from the acceleration scale at every resort boundary.
     The chunked python loop mirrors integrate/leapfrog.simulate;
@@ -580,12 +659,14 @@ def simulate_persistent(
     import numpy as np
 
     n = pos.shape[0]
-    _, ld, _, _ = _layout(n, group_size)
+    ld_over = min(8, auto_ld(n) + 2) if robust_slots > 0 else None
+    _, ld, _, _ = _layout(n, group_size, ld_over)
     fkw = dict(
         theta=theta, softening_sq=softening_sq, leaf_cap=leaf_cap,
         ld=ld, interpret=interpret,
     )
-    state = init_state(pos, vel, mass, G=G, group_size=group_size)
+    state = init_state(pos, vel, mass, G=G, group_size=group_size,
+                       robust_slots=robust_slots, ld=ld_over)
     state = prime(state, **fkw)
     block = block_tiers > 1
     if block and softening_sq <= 0:
@@ -661,7 +742,8 @@ def simulate_persistent(
             progress_fn(done, "drift-guard: per-step resorts" if guarded else "")
         if done < n_steps:
             # pure relabeling: acc rides the permutation, no re-prime
-            state = resort(state, n, group_size)
+            state = resort(state, n, group_size,
+                           robust_slots=robust_slots, ld=ld_over)
             if block:
                 tiers = assign_tiers(
                     state, dt, eta=block_eta, eps=math.sqrt(softening_sq),

@@ -124,3 +124,57 @@ def test_cli_auto_detects_outliers(tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert "enabling --bh-robust" not in r.stderr
+
+
+def test_persistent_robust_matches_oracle():
+    """The persistent layout's robust mode: outlier-laden cloud, two
+    resort chunks — trajectory matches the fp64 leapfrog oracle, and the
+    outliers' mass survives the resorts (conservation via the
+    out_gm stash/restore)."""
+    from nbody_tpu.integrate.leapfrog import leapfrog_steps
+    from nbody_tpu.core.types import Bodies
+    from nbody_tpu.ops import bh_persistent as bp
+    from nbody_tpu.ops.exhaustive import exhaustive_accelerations
+
+    pos_np, mass_np = _cloud_with_outliers(n=500, n_out=4, seed=7)
+    rng = np.random.default_rng(7)
+    vel_np = rng.uniform(-0.1, 0.1, (500, 3))
+    pos = jnp.asarray(pos_np, jnp.float32)
+    vel = jnp.asarray(vel_np, jnp.float32)
+    mass = jnp.asarray(mass_np, jnp.float32)
+
+    p_s, v_s = bp.simulate_persistent(
+        pos, vel, mass, 6, 1e-3, G=1.0, softening_sq=1e-2,
+        group_size=128, resort_every=3, interpret=True,
+        robust_slots=16, max_drift_frac=0.0,
+    )
+    ref, _ = leapfrog_steps(
+        Bodies(pos, vel, mass), 6, 1e-3,
+        lambda p, m: exhaustive_accelerations(
+            p, m, G=1.0, softening_sq=1e-2),
+    )
+    scale = float(jnp.abs(ref.vel).max())
+    dv = np.abs(np.asarray(v_s) - np.asarray(ref.vel)).max() / scale
+    dp = np.abs(np.asarray(p_s) - np.asarray(ref.pos)).max()
+    assert np.isfinite(dv) and dv < 0.02, dv
+    assert dp < 1e-2, dp
+
+
+def test_persistent_robust_mass_restored_at_resort():
+    from nbody_tpu.ops import bh_persistent as bp
+
+    pos_np, mass_np = _cloud_with_outliers(n=400, n_out=4, seed=8)
+    pos = jnp.asarray(pos_np, jnp.float32)
+    vel = jnp.zeros((400, 3), jnp.float32)
+    mass = jnp.asarray(mass_np, jnp.float32)
+    st = bp.init_state(pos, vel, mass, G=1.0, group_size=128,
+                       robust_slots=16, ld=4)
+    # layout gm excludes the 16 stashed outliers...
+    gm_layout = float(jnp.where(st.valid, st.pg[:, 3, :], 0.0).sum())
+    gm_out = float(st.out_gm.sum())
+    assert abs(gm_layout + gm_out - float(mass.sum())) < 1e-3
+    assert gm_out > 0
+    # ...and a resort restores then re-stashes it (no mass leaks)
+    st2 = bp.resort(st, 400, 128, robust_slots=16, ld=4)
+    gm2 = float(jnp.where(st2.valid, st2.pg[:, 3, :], 0.0).sum())
+    assert abs(gm2 + float(st2.out_gm.sum()) - float(mass.sum())) < 1e-3
