@@ -308,6 +308,8 @@ def _shard_fused_kwargs(args) -> dict:
         kw["bucket_frac"] = args.bucket_frac
     if getattr(args, "halo_cap", 0):
         kw["halo_cap"] = args.halo_cap
+    if getattr(args, "bh_robust", False) is True:
+        kw["robust_slots"] = -1  # auto (max(128, N // 512))
     return kw
 
 
@@ -422,7 +424,7 @@ def build_force_fn(args, n: int):
                 theta=args.theta,
                 **_shard_fused_kwargs(args),
             )
-            backend = f"{backend}/fused"
+            backend = f"{backend}/fused" + ("/robust" if args.bh_robust else "")
         elif args.shard:
             from nbody_tpu.parallel.sharding import barneshut_shard_force_fn
 
@@ -602,7 +604,7 @@ def main(argv=None) -> int:
         from nbody_tpu.diag import bh_phases
 
         kw = dict(G=args.G, softening_sq=args.softening2, theta=args.theta)
-        if backend.endswith("/fused"):
+        if "/fused" in backend:
             import jax as _jax_t
 
             bh_kw = _bh_kwargs(args)
@@ -629,7 +631,7 @@ def main(argv=None) -> int:
 
         if (
             algo == "barnes-hut"
-            and backend.endswith("/fused")
+            and "/fused" in backend
             and not args.no_capacity_check
         ):
             # Sharded capacities differ from the single-chip ones (bucket
@@ -743,11 +745,11 @@ def main(argv=None) -> int:
             "path with the KDK integrator; ignoring",
             file=sys.stderr,
         )
-    if args.bh_robust and args.shard:
+    if args.bh_robust and args.shard and persistent:
         print(
-            "warning: --bh-robust is not wired into the sharded layouts "
-            "yet; they keep the full bounding cube (outlier-heavy inputs "
-            "will run slowly there)",
+            "warning: --bh-robust is not wired into the sharded "
+            "PERSISTENT layout yet; it keeps the full bounding cube "
+            "(outlier-heavy inputs will run slowly there)",
             file=sys.stderr,
         )
     if args.block_tiers > 1 and (not persistent or args.shard):

@@ -98,6 +98,7 @@ def fused_shard_force_fn(
     halo_cap: int = 0,
     keep_groups: int = 0,
     frontier_cap: int = 0,
+    robust_slots: int = 0,
     interpret: bool | None = None,
     return_stats: bool = False,
 ):
@@ -108,6 +109,16 @@ def fused_shard_force_fn(
     exchange (parallel/bh_halo.py, per-chip O(N/P + halo)); None picks
     halo above HALO_THRESHOLD bodies.  `halo_cap` is the per-chip-pair
     slot capacity (0 = auto), runtime-overflow-checked.
+
+    `robust_slots > 0` is the distributed form of the exact outlier
+    hybrid (ops/bh_fused.barneshut_fused_robust): the root cube is sized
+    by the global (K+1)-th largest L-inf distance from a
+    median-of-chip-medians center (one all_gather of per-chip top-K
+    distance candidates), the <=K out-of-cube bodies ride the pipeline
+    zero-massed, their (pos, G*mass) rows are gathered into a replicated
+    (K, 4) table, and every chip adds the exact (C, K) rectangle to its
+    own targets.  Nothing is approximated; the grid deepens to
+    auto_ld + 2 (max 8) like the one-shot path.
 
     With return_stats=True returns (acc, stats) where stats is a dict of
     replicated scalars: bucket_overflow / trimmed_groups / frontier_overflow
@@ -123,22 +134,65 @@ def fused_shard_force_fn(
         C = pos_l.shape[0]
         N = n_dev * C
         b = min(group_size, C)
-        ld = auto_ld(N)
+        ld = min(8, auto_ld(N) + 2) if robust_slots else auto_ld(N)
         sl = auto_split_level(N, b)
         k_terminal = 8**ld
         CB = _round_up(max(int(bucket_frac * C / n_dev), min(C, 256)), 128)
         C_own = n_dev * CB
         k = lax.axis_index(axis_name)
 
-        # 1. global root cube --------------------------------------------
-        border = 2.0 * lax.pmax(jnp.max(jnp.abs(pos_l)), axis_name)
+        pos32_l = pos_l.astype(jnp.float32)
+        otab = None
+        if robust_slots:
+            # distributed exact outlier hybrid (docstring above);
+            # negative = auto, matching barneshut_fused_robust's default
+            kq = max(128, N // 512) if robust_slots < 0 else int(robust_slots)
+            kq = min(kq, N - 1)
+            kq_l = min(kq + 1, C)
+            meds = lax.all_gather(
+                jnp.median(pos32_l, axis=0), axis_name, axis=0
+            )  # (P, 3)
+            center = jnp.median(meds, axis=0)
+            rel_l = pos32_l - center
+            d_l = jnp.max(jnp.abs(rel_l), axis=1)
+            v_l, i_l = lax.top_k(d_l, kq_l)
+            v_all = lax.all_gather(v_l, axis_name, axis=0, tiled=True)
+            thr = lax.top_k(v_all, min(kq + 1, v_all.shape[0]))[0][
+                min(kq, v_all.shape[0] - 1)
+            ]
+            border = 2.0 * thr * 1.0001
+            is_out = v_l > thr  # strict: ties stay in the tree (<=K out)
+            stash_f = jnp.concatenate(
+                [
+                    pos32_l[i_l],
+                    jnp.where(
+                        is_out, jnp.float32(G) * mass_l[i_l], 0.0
+                    ).astype(jnp.float32)[:, None],
+                ],
+                axis=1,
+            )  # (kq_l, 4); non-outlier rows are inert (gm = 0)
+            sf_all = lax.all_gather(stash_f, axis_name, axis=0, tiled=True)
+            sd_all = lax.all_gather(
+                jnp.where(is_out, v_l, -1.0), axis_name, axis=0, tiled=True
+            )
+            sel = lax.top_k(sd_all, min(kq, sd_all.shape[0]))[1]
+            otab = sf_all[sel]  # (kq, 4) replicated outlier table
+            mass_eff = jnp.where(d_l > thr, 0.0, mass_l)
+            pos_enc = rel_l
+        else:
+            # 1. global root cube ----------------------------------------
+            border = 2.0 * lax.pmax(jnp.max(jnp.abs(pos_l)), axis_name)
+            mass_eff = mass_l
+            pos_enc = pos_l
 
         # 2. local Morton sort -------------------------------------------
-        keys = morton_encode(pos_l, border, _DEPTH)
+        keys = morton_encode(pos_enc, border, _DEPTH)
         ordl = jnp.argsort(keys)
         keys_s = keys[ordl]
-        pos_s = pos_l[ordl].astype(jnp.float32)
-        gm_s = (jnp.asarray(G, jnp.float32) * mass_l[ordl]).astype(jnp.float32)
+        pos_s = pos_enc[ordl].astype(jnp.float32)
+        gm_s = (
+            jnp.asarray(G, jnp.float32) * mass_eff[ordl]
+        ).astype(jnp.float32)
         orig = (k * C + ordl).astype(jnp.int32)
 
         # 3. splitters (sample sort, snapped to terminal-cell bounds) ----
@@ -342,8 +396,19 @@ def fused_shard_force_fn(
             jnp.zeros((C, 3), jnp.float32)
             .at[jnp.where(mine, rel, C)]
             .set(acc_all, mode="drop")
-            .astype(dtype)
         )
+        if otab is not None:
+            # outlier sources: exact (C, K) rectangle on this chip's own
+            # targets (original local order).  Displacement form, not the
+            # expanded-|r|^2 path — outlier coordinates are exactly where
+            # cancellation bites (bh_fused.barneshut_fused_robust).
+            from nbody_tpu.ops.exhaustive import rect_accelerations
+
+            out = out + rect_accelerations(
+                pos32_l, otab[:, :3], otab[:, 3],
+                G=1.0, softening_sq=softening_sq, mode="chunked",
+            )
+        out = out.astype(dtype)
         if not return_stats:
             return out
         stats = {

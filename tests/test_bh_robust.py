@@ -178,3 +178,83 @@ def test_persistent_robust_mass_restored_at_resort():
     st2 = bp.resort(st, 400, 128, robust_slots=16, ld=4)
     gm2 = float(jnp.where(st2.valid, st2.pg[:, 3, :], 0.0).sum())
     assert abs(gm2 + float(st2.out_gm.sum()) - float(mass.sum())) < 1e-3
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    import jax
+
+    from nbody_tpu.parallel.mesh import make_mesh
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    return make_mesh(jax.devices()[:8])
+
+
+def test_sharded_robust_matches_oracle(mesh8):
+    """Distributed outlier hybrid (fused_shard_force_fn robust_slots):
+    escaper-laden cloud through the full 8-chip pipeline — collective
+    robust border, zero-massed outlier transit, replicated (K, 4) table,
+    per-chip exact rectangle — vs the fp64 oracle."""
+    from nbody_tpu.core.types import Bodies
+    from nbody_tpu.parallel.bh_shard import fused_shard_force_fn
+    from nbody_tpu.parallel.sharding import shard_bodies
+
+    n = 1024
+    pos_np, mass_np = _cloud_with_outliers(n=n, n_out=5, seed=3)
+    want = accel_exhaustive(pos_np, mass_np)
+    scale = np.abs(want).max()
+    bodies = shard_bodies(
+        Bodies(
+            jnp.asarray(pos_np, jnp.float32),
+            jnp.zeros((n, 3), jnp.float32),
+            jnp.asarray(mass_np, jnp.float32),
+        ),
+        mesh=mesh8,
+    )
+    force = fused_shard_force_fn(
+        mesh=mesh8, G=1.0, softening_sq=0.01, theta=0.5, group_size=128,
+        robust_slots=32, return_stats=True,
+    )
+    acc, stats = force(bodies.pos, bodies.mass)
+    assert int(stats["bucket_overflow"]) == 0
+    assert int(stats["trimmed_groups"]) == 0
+    assert int(stats["frontier_overflow"]) == 0
+    got = np.asarray(acc)[:n]
+    err = np.abs(got - want).max() / scale
+    assert err < 0.02, err
+    # the escapers' own (tiny) forces are exact-rectangle accurate too
+    own = np.abs(want[:5]).max(axis=1)
+    err_out = np.abs(got[:5] - want[:5]).max(axis=1) / own
+    assert err_out.max() < 0.02, err_out
+
+
+def test_sharded_robust_matches_unsharded(mesh8):
+    """Same robust scheme, different partitioning: the 8-chip pipeline
+    must agree with the single-chip robust kernel far inside theta."""
+    from nbody_tpu.core.types import Bodies
+    from nbody_tpu.parallel.bh_shard import fused_shard_force_fn
+    from nbody_tpu.parallel.sharding import shard_bodies
+
+    n = 768
+    pos_np, mass_np = _cloud_with_outliers(n=n, n_out=4, seed=4)
+    p = jnp.asarray(pos_np, jnp.float32)
+    m = jnp.asarray(mass_np, jnp.float32)
+    ref = np.asarray(
+        barneshut_fused_robust(
+            p, m, G=1.0, softening_sq=0.01, theta=0.5, group_size=128,
+            outlier_slots=32, interpret=True,
+        )
+    )
+    bodies = shard_bodies(
+        Bodies(p, jnp.zeros((n, 3), jnp.float32), m), mesh=mesh8
+    )
+    force = fused_shard_force_fn(
+        mesh=mesh8, G=1.0, softening_sq=0.01, theta=0.5, group_size=128,
+        robust_slots=32,
+    )
+    got = np.asarray(force(bodies.pos, bodies.mass))[:n]
+    # not bitwise (chip-median center vs global median shifts the cube;
+    # chip-local groups tile differently) but far tighter than theta
+    err = np.abs(got - ref).max() / np.abs(ref).max()
+    assert err < 0.01, err
