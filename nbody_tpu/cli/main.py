@@ -213,6 +213,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="fused Barnes-Hut BFS frontier octets per level (0 = auto; "
         "overflow errors prescribe the measured value needed)")
     p.add_argument(
+        "--bh-ld", type=int, default=0,
+        help="Barnes-Hut dense-grid terminal level (0 = auto: ~16 "
+        "bodies/cell capped at 6, or auto+2 capped at 8 with "
+        "--bh-robust).  Robust-mode tradeoff is data-dependent: deeper "
+        "resolves dense cores (3.7x at 1M core-heavy), shallower "
+        "cuts the persistent path's per-step table rebuild (~28% at 1M "
+        "shell-like); see docs/PERFORMANCE.md")
+    p.add_argument(
         "--bucket-frac", type=float, default=0.0,
         help="sharded Barnes-Hut Morton-bucket capacity factor (0 = auto "
         "2.5; overflow errors prescribe the value the worst bucket needs)")
@@ -298,6 +306,8 @@ def _fused_kwargs(args) -> dict:
         kw["keep_groups"] = args.bh_keep_groups
     if getattr(args, "bh_frontier_cap", 0):
         kw["frontier_cap"] = args.bh_frontier_cap
+    if getattr(args, "bh_ld", 0):
+        kw["ld"] = args.bh_ld
     return kw
 
 
@@ -837,6 +847,7 @@ def main(argv=None) -> int:
                 robust_slots=(
                     max(128, bodies.n // 512) if args.bh_robust else 0
                 ),
+                ld=args.bh_ld,
                 **{k: v for k, v in bh_kw.items()
                    if k in ("group_size", "leaf_cap")},
             )

@@ -954,6 +954,28 @@ def check_fused(pos, mass, robust: bool = False, **kw):
     return stats
 
 
+def outlier_rect(targets, src, gm, softening_sq: float, interpret: bool):
+    """Exact (M, K) rectangle for the robust hybrid's outlier sources
+    (G already folded into gm).  Both paths use the displacement form
+    (cancellation-safe at outlier coordinates — the expanded-|r|^2 MXU
+    formulation loses ~4 digits there, ops/exhaustive.py).  On TPU the
+    Pallas j-streaming kernel wins 4x over the chunked jnp map at
+    (1M, 2k) (measured: 46 -> 12 ms class); interpret mode keeps the
+    jnp path, which the Pallas emulator cannot beat."""
+    if interpret:
+        from nbody_tpu.ops.exhaustive import rect_accelerations
+
+        return rect_accelerations(
+            targets, src, gm, G=1.0, softening_sq=softening_sq,
+            mode="chunked",
+        )
+    from nbody_tpu.ops.pallas_exhaustive import pallas_rect_accelerations
+
+    return pallas_rect_accelerations(
+        targets, src, gm, G=1.0, softening_sq=softening_sq,
+    )
+
+
 def barneshut_fused_robust(
     pos: jax.Array,
     mass: jax.Array,
@@ -1004,8 +1026,6 @@ def barneshut_fused_robust(
     border alone 1533 ms (423M) -> robust + ld 8 = **413 ms (47M)**,
     within 1.4x of the uniform-cloud eval.
     """
-    from nbody_tpu.ops.exhaustive import rect_accelerations
-
     n = pos.shape[0]
     if kw.get("ld", 0) == 0:
         kw["ld"] = min(8, auto_ld(n) + 2)
@@ -1024,11 +1044,10 @@ def barneshut_fused_robust(
         return_stats=return_stats, **kw,
     )
     acc = res[0] if return_stats else res
-    # exact displacement form ("chunked"), not the expanded-|r|^2 MXU
-    # path: outlier coordinates are exactly where cancellation bites
-    side = rect_accelerations(
-        pos32, pos32[out_idx], mass[out_idx],
-        G=G, softening_sq=softening_sq, mode="chunked",
+    side = outlier_rect(
+        pos32, pos32[out_idx],
+        jnp.asarray(G, jnp.float32) * mass[out_idx],
+        softening_sq, bool(kw.get("interpret", False)),
     )
     acc = acc + side.astype(acc.dtype)
     if return_stats:

@@ -358,6 +358,9 @@ def init_state(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n", "group_size", "robust_slots", "ld")
+)
 def resort(state: GroupState, n: int, group_size: int,
            robust_slots: int = 0, ld: int | None = None) -> GroupState:
     """Periodic resort: flatten the group layout and rebuild."""
@@ -405,14 +408,13 @@ def state_forces(
         # their source contribution with one exact (M, K) rectangle
         # (their CURRENT positions gathered from the layout).  G is
         # already folded into out_gm.
-        from nbody_tpu.ops.exhaustive import rect_accelerations
+        from nbody_tpu.ops.bh_fused import outlier_rect
 
         m = g * b
         targets = jnp.transpose(state.pg[:, :3, :], (0, 2, 1)).reshape(m, 3)
         src = targets[state.out_slots]
-        side = rect_accelerations(
-            targets, src, state.out_gm,
-            G=1.0, softening_sq=softening_sq, mode="chunked",
+        side = outlier_rect(
+            targets, src, state.out_gm, softening_sq, interpret
         )
         acc_g = acc_g + jnp.transpose(
             side.reshape(g, b, 3), (0, 2, 1)
@@ -470,10 +472,20 @@ def kdk_steps(
     return state
 
 
+_state_forces_jit = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "theta", "softening_sq", "leaf_cap", "ld", "burst_rows", "interpret"
+    ),
+)(state_forces)
+
+
 def prime(state: GroupState, **force_kw) -> GroupState:
     """Fill state.acc with the force at current positions (the initial
-    acceleration call of the reference, serial/exhaustive.c:206)."""
-    return state._replace(acc=state_forces(state, **force_kw))
+    acceleration call of the reference, serial/exhaustive.c:206).
+    Jitted as one graph: eager per-op dispatch through the tunneled PJRT
+    costs ~27 ms/op, which made this single eval ~16 s at 1M ld=8."""
+    return state._replace(acc=_state_forces_jit(state, **force_kw))
 
 
 # ---------------------------------------------------------------------------
@@ -587,6 +599,7 @@ def kdk_block_steps(
     return state
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
 def emit(state: GroupState, n: int):
     """(pos, vel) back in the original body order (for output frames)."""
     g, _, b = state.pg.shape
@@ -633,11 +646,14 @@ def simulate_persistent(
     block_tiers: int = 1,
     block_eta: float = 0.025,
     robust_slots: int = 0,
+    ld: int = 0,
 ):
     """Run n_steps with periodic resorts; returns (pos, vel) in original
     order.  `robust_slots > 0` enables the outlier-robust scheme on this
     layout (_resort docstring; the grid also deepens to auto_ld + 2,
-    max 8, since the sane cube can afford the levels).
+    max 8, since the sane cube can afford the levels).  `ld` overrides
+    the grid depth either way (the robust-mode depth tradeoff is
+    data-dependent; --bh-ld help / docs/PERFORMANCE.md).
     `block_tiers > 1` switches to tiered block time steps
     (kdk_block_steps): n_steps counts MACRO steps of dt, per-group tiers
     reassigned from the acceleration scale at every resort boundary.
@@ -659,7 +675,9 @@ def simulate_persistent(
     import numpy as np
 
     n = pos.shape[0]
-    ld_over = min(8, auto_ld(n) + 2) if robust_slots > 0 else None
+    ld_over = int(ld) or (
+        min(8, auto_ld(n) + 2) if robust_slots > 0 else None
+    )
     _, ld, _, _ = _layout(n, group_size, ld_over)
     fkw = dict(
         theta=theta, softening_sq=softening_sq, leaf_cap=leaf_cap,

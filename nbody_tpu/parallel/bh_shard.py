@@ -99,6 +99,7 @@ def fused_shard_force_fn(
     keep_groups: int = 0,
     frontier_cap: int = 0,
     robust_slots: int = 0,
+    ld: int = 0,
     interpret: bool | None = None,
     return_stats: bool = False,
 ):
@@ -128,13 +129,16 @@ def fused_shard_force_fn(
     n_dev = mesh.devices.size
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    ld_over = int(ld)
 
     def local(pos_l, mass_l):
         dtype = pos_l.dtype
         C = pos_l.shape[0]
         N = n_dev * C
         b = min(group_size, C)
-        ld = min(8, auto_ld(N) + 2) if robust_slots else auto_ld(N)
+        ld = ld_over or (
+            min(8, auto_ld(N) + 2) if robust_slots else auto_ld(N)
+        )
         sl = auto_split_level(N, b)
         k_terminal = 8**ld
         CB = _round_up(max(int(bucket_frac * C / n_dev), min(C, 256)), 128)
@@ -399,14 +403,12 @@ def fused_shard_force_fn(
         )
         if otab is not None:
             # outlier sources: exact (C, K) rectangle on this chip's own
-            # targets (original local order).  Displacement form, not the
-            # expanded-|r|^2 path — outlier coordinates are exactly where
-            # cancellation bites (bh_fused.barneshut_fused_robust).
-            from nbody_tpu.ops.exhaustive import rect_accelerations
+            # targets (original local order); displacement form
+            # (bh_fused.outlier_rect docstring)
+            from nbody_tpu.ops.bh_fused import outlier_rect
 
-            out = out + rect_accelerations(
-                pos32_l, otab[:, :3], otab[:, 3],
-                G=1.0, softening_sq=softening_sq, mode="chunked",
+            out = out + outlier_rect(
+                pos32_l, otab[:, :3], otab[:, 3], softening_sq, interpret
             )
         out = out.astype(dtype)
         if not return_stats:
