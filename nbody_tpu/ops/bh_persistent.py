@@ -206,12 +206,21 @@ def _resort(pos_f, vel_f, acc_f, gm_f, orig_f, n: int, group_size: int,
         )
         vals = lax.top_k(d_in, k_out + 1)[0]
         border = (2.0 * vals[k_out] * 1.0001).astype(jnp.float32)
+        # keys live in the CENTERED frame: the cube is sized by distances
+        # from the median, so encoding absolute positions would put
+        # massive bodies of an off-center cloud in the wrong cells (384
+        # of 384 outside their nominal box at a (3,-1,2) offset; 14%
+        # force error).  Only the keys shift; layout positions stay
+        # absolute (forces are translation-invariant, cell COMs come
+        # from body coordinates).
+        pos_enc = pos_f - center
     else:
         center = None
         border = bounding_border(
             jnp.where(real_in[:, None], pos_f, 0.0)
         ).astype(jnp.float32)
-    keys = morton_encode(pos_f, border, _DEPTH)
+        pos_enc = pos_f
+    keys = morton_encode(pos_enc, border, _DEPTH)
     keys = jnp.where(real_in, keys, _SENT_KEY)
     order = jnp.argsort(keys)
     keys_s = keys[order]

@@ -195,13 +195,17 @@ def test_sharded_robust_matches_oracle(mesh8):
     """Distributed outlier hybrid (fused_shard_force_fn robust_slots):
     escaper-laden cloud through the full 8-chip pipeline — collective
     robust border, zero-massed outlier transit, replicated (K, 4) table,
-    per-chip exact rectangle — vs the fp64 oracle."""
+    per-chip exact rectangle — vs the fp64 oracle.  The cloud is
+    off-center and straddles the robust cube edge, covering the
+    centered-frame key encode (the persistent layout's off-center
+    regression above)."""
     from nbody_tpu.core.types import Bodies
     from nbody_tpu.parallel.bh_shard import fused_shard_force_fn
     from nbody_tpu.parallel.sharding import shard_bodies
 
     n = 1024
     pos_np, mass_np = _cloud_with_outliers(n=n, n_out=5, seed=3)
+    pos_np = pos_np + np.array([3.0, -1.0, 2.0])
     want = accel_exhaustive(pos_np, mass_np)
     scale = np.abs(want).max()
     bodies = shard_bodies(
@@ -258,3 +262,40 @@ def test_sharded_robust_matches_unsharded(mesh8):
     # chip-local groups tile differently) but far tighter than theta
     err = np.abs(got - ref).max() / np.abs(ref).max()
     assert err < 0.01, err
+
+
+def test_persistent_robust_off_center_cloud():
+    """The robust cube is sized by distances from the MEDIAN center, so
+    Morton keys must be encoded in the centered frame: an off-center
+    cloud (centroid far from the origin) would otherwise assign massive
+    bodies to the wrong cells (measured: 384/384 outside their nominal
+    box, 14% force error at this offset) — MAC unsoundness of the kind
+    robust mode exists to prevent.  Regression for the absolute-frame
+    encode bug.  The offset must leave the cloud STRADDLING the cube
+    edge: a fully-clipped cloud collapses into one exact near-field
+    cell and cannot discriminate."""
+    from nbody_tpu.ops import bh_persistent as bp
+    from tests.oracle import accel_exhaustive
+
+    n = 400
+    pos_np, mass_np = _cloud_with_outliers(n=n, n_out=4, seed=9)
+    pos_np = pos_np + np.array([3.0, -1.0, 2.0])  # off-center, straddling
+    st = bp.init_state(
+        jnp.asarray(pos_np, jnp.float32), jnp.zeros((n, 3), jnp.float32),
+        jnp.asarray(mass_np, jnp.float32), G=1.0, group_size=128,
+        robust_slots=16, ld=4,
+    )
+    acc = bp.state_forces(
+        st, theta=0.5, softening_sq=0.01, leaf_cap=64, ld=4, interpret=True
+    )
+    g, _, b = st.pg.shape
+    got_flat = np.asarray(
+        jnp.transpose(acc, (0, 2, 1)).reshape(g * b, 3)
+    )
+    dest = np.asarray(st.orig).reshape(-1)
+    keep = dest < n
+    got = np.zeros((n, 3), np.float32)
+    got[dest[keep]] = got_flat[keep]
+    want = accel_exhaustive(pos_np, mass_np)
+    err = np.abs(got - want).max() / np.abs(want).max()
+    assert err < 0.02, err
