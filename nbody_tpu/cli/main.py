@@ -755,13 +755,6 @@ def main(argv=None) -> int:
             "path with the KDK integrator; ignoring",
             file=sys.stderr,
         )
-    if args.bh_robust and args.shard and persistent:
-        print(
-            "warning: --bh-robust is not wired into the sharded "
-            "PERSISTENT layout yet; it keeps the full bounding cube "
-            "(outlier-heavy inputs will run slowly there)",
-            file=sys.stderr,
-        )
     if args.block_tiers > 1 and (not persistent or args.shard):
         raise SystemExit(
             "--block-tiers requires the unsharded persistent path "
@@ -815,7 +808,8 @@ def main(argv=None) -> int:
                     progress_every=args.progress,
                     progress_fn=progress_fn,
                     **{k: v for k, v in _shard_fused_kwargs(args).items()
-                       if k in ("group_size", "leaf_cap", "bucket_frac")},
+                       if k in ("group_size", "leaf_cap", "bucket_frac",
+                                "robust_slots", "ld")},
                 )
             except CapacityError as e:
                 print(f"error: {e}", file=sys.stderr)

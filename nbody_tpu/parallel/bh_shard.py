@@ -517,10 +517,11 @@ def check_sharded_fused(bodies, mesh=None, **kw):
 # ---------------------------------------------------------------------------
 
 
-def _shard_layout(n: int, n_dev: int, group_size: int, bucket_frac: float):
+def _shard_layout(n: int, n_dev: int, group_size: int, bucket_frac: float,
+                  ld: int = 0):
     C = n // n_dev
     b = min(group_size, C)
-    ld = auto_ld(n)
+    ld = int(ld) or auto_ld(n)
     sl = auto_split_level(n, b)
     CB = _round_up(max(int(bucket_frac * C / n_dev), min(C, 256)), 128)
     C_own = n_dev * CB
@@ -551,11 +552,26 @@ def persistent_shard_fns(
     samples_per_chip: int = 32,
     bucket_frac: float = 2.5,
     migrant_frac: float = 0.125,
+    robust_slots: int = 0,
+    ld: int = 0,
     interpret: bool | None = None,
 ):
     """Build (init_fn, resort_fn, prime_fn, steps_fn, emit_fn) for the
     sharded persistent integrator.  State is a dict pytree: per-chip
     group-layout leaves sharded on axis 0, tree tables replicated.
+
+    `robust_slots` (0 off, negative auto = max(128, n // 512)) runs the
+    exact outlier hybrid on this layout: the frozen Morton frame is the
+    CENTERED robust cube (state carries its center), outliers ride the
+    layout zero-massed with their G*mass in a per-slot `sgm` sideband
+    channel that follows every exchange (row width 10 -> 11), each
+    regroup re-extracts the per-chip outlier slots (`oslots`), and
+    local_force gathers the <=K current outlier rows into a replicated
+    (K, 4) table and adds the exact per-chip rectangle.  A TREE body
+    leaving the cube sets the oob flag exactly as before (stashed
+    outliers are allowed outside); the rebalance re-selects outliers
+    from scratch.  `ld` overrides the grid depth (robust default
+    auto_ld + 2, max 8).
 
     Bodies with original index >= n_real (the CLI's inert zero-mass shard
     padding) are dropped at init: a pad clump shares one Morton key,
@@ -579,19 +595,27 @@ def persistent_shard_fns(
         n_real = n
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    kq = (max(128, n // 512) if robust_slots < 0 else int(robust_slots))
+    kq = min(kq, n - 1)
+    robust = robust_slots != 0
+    ld_over = int(ld) or (min(8, auto_ld(n) + 2) if robust else 0)
     C, b, ld, sl, CB, C_own, keep_l = _shard_layout(
-        n, n_dev, group_size, bucket_frac
+        n, n_dev, group_size, bucket_frac, ld_over
     )
     k_terminal = 8**ld
     M_l = keep_l * b
+    kq = min(kq, M_l)
     CB_mig = _round_up(max(128, int(migrant_frac * C)), 128)
+    NF = 11 if robust else 10  # float row [x y z gm vx vy vz ax ay az (sgm)]
 
     from nbody_tpu.ops.barneshut import compact_groups, group_bodies
 
-    def _regroup(myk, myo, myf, border, spl, bucket_overflow, oob):
+    def _regroup(myk, myo, myf, border, spl, bucket_overflow, oob,
+                 center=None):
         """Common tail: (M,) merged sorted candidates -> group state.
-        myk sorted ascending with _SENT_KEY pads at the end; myf (M, 10)
-        rows [x y z gm vx vy vz ax ay az]; pads carry gm = 0, orig = n."""
+        myk sorted ascending with _SENT_KEY pads at the end; myf (M, NF)
+        rows [x y z gm vx vy vz ax ay az (sgm)]; pads carry gm = 0,
+        orig = n."""
         k = lax.axis_index(axis_name)
         m_in = myk.shape[0]
         Rk = jnp.sum((myk < _SENT_KEY).astype(jnp.int32))
@@ -666,7 +690,7 @@ def persistent_shard_fns(
         it = pack_it(tree, ld)
         lev = jnp.arange(16, dtype=jnp.float32)
         bsq = (border.astype(jnp.float32) / jnp.exp2(lev)) ** 2
-        return {
+        st = {
             "pg": pg, "vel": vel_g, "acc": acc_g, "valid": group_valid,
             "gcount": gcount.astype(jnp.int32), "orig": orig_g, "nid": nid_g,
             "it": it, "bsq": bsq, "border": border.reshape(()),
@@ -675,26 +699,79 @@ def persistent_shard_fns(
             "trimmed": trimmed.reshape(()),
             "oob": oob.astype(jnp.int32).reshape(()),
         }
+        if robust:
+            # per-slot stashed G*mass sideband + the (frozen until the
+            # next regroup) per-chip outlier slot indices
+            sgm_slot = jnp.where(group_valid, rows[:, :, 10], 0.0)
+            st["sgm"] = sgm_slot
+            st["oslots"] = lax.top_k(
+                sgm_slot.reshape(M_l), kq
+            )[1].astype(jnp.int32)
+            st["center"] = center.reshape(3).astype(jnp.float32)
+        return st
+
+    import numpy as _np
+
+    _gm_cols = _np.arange(NF) == 3
+    if robust:
+        _gm_cols = _gm_cols | (_np.arange(NF) == 10)  # sgm zeroed on pads too
 
     def full_redistribute(pos_f, vel_f, acc_f, gm_f, orig_f):
         """Per-chip: full sample-sort redistribution of (M_in,) candidate
         slots to fresh contiguous Morton ranges (fresh border + splitters).
-        Pads (orig >= n_real at init, orig = n mid-run): gm = 0."""
+        Pads (orig >= n_real at init, orig = n mid-run): gm = 0.
+        Robust mode selects the outliers HERE (the only place full G*mass
+        enters): threshold from the gathered per-chip top-(K+1) distance
+        candidates, centered-frame keys, sgm sideband."""
         m_in = pos_f.shape[0]
 
         real_in = orig_f < n_real
-        border = 2.0 * lax.pmax(
-            jnp.max(jnp.where(real_in[:, None], jnp.abs(pos_f), 0.0)),
-            axis_name,
-        )
-        keys = morton_encode(pos_f, border, _DEPTH)
+        if robust:
+            # center: median of chip medians, pads replaced by the chip's
+            # masked mean (EXACTNESS does not depend on the center — any
+            # choice yields a sound cube; it only tunes which K bodies
+            # are stashed)
+            cnt_r = jnp.maximum(jnp.sum(real_in.astype(jnp.int32)), 1)
+            mean_l = (
+                jnp.sum(jnp.where(real_in[:, None], pos_f, 0.0), axis=0)
+                / cnt_r
+            )
+            med_l = jnp.median(
+                jnp.where(real_in[:, None], pos_f, mean_l), axis=0
+            )
+            meds = lax.all_gather(med_l, axis_name, axis=0)
+            center = jnp.median(meds, axis=0).astype(jnp.float32)
+            d_in = jnp.where(
+                real_in,
+                jnp.max(jnp.abs(pos_f.astype(jnp.float32) - center), axis=1),
+                -1.0,
+            )
+            v_l = lax.top_k(d_in, min(kq + 1, m_in))[0]
+            v_all = lax.all_gather(v_l, axis_name, axis=0, tiled=True)
+            thr = lax.top_k(v_all, min(kq + 1, v_all.shape[0]))[0][
+                min(kq, v_all.shape[0] - 1)
+            ]
+            border = 2.0 * thr * 1.0001
+            is_out = d_in > thr  # strict: ties stay in the tree
+            sgm_f = jnp.where(is_out, gm_f, 0.0).astype(jnp.float32)
+            gm_f = jnp.where(is_out, 0.0, gm_f)
+            pos_enc = pos_f.astype(jnp.float32) - center
+        else:
+            center = None
+            border = 2.0 * lax.pmax(
+                jnp.max(jnp.where(real_in[:, None], jnp.abs(pos_f), 0.0)),
+                axis_name,
+            )
+            pos_enc = pos_f
+        keys = morton_encode(pos_enc, border, _DEPTH)
         keys = jnp.where(real_in, keys, _SENT_KEY)
         ordl = jnp.argsort(keys)
         keys_s = keys[ordl]
-        fall = jnp.concatenate(
-            [pos_f[ordl], gm_f[ordl][:, None], vel_f[ordl], acc_f[ordl]],
-            axis=1,
-        ).astype(jnp.float32)  # (M_in, 10) [x y z gm vx vy vz ax ay az]
+        cols = [pos_f[ordl], gm_f[ordl][:, None], vel_f[ordl], acc_f[ordl]]
+        if robust:
+            cols.append(sgm_f[ordl][:, None])
+        fall = jnp.concatenate(cols, axis=1).astype(jnp.float32)
+        # (M_in, NF) [x y z gm vx vy vz ax ay az (sgm)]
         iall = jnp.stack([keys_s, orig_f[ordl]], axis=1)
         R_l = jnp.sum(real_in.astype(jnp.int32))
 
@@ -724,7 +801,7 @@ def persistent_shard_fns(
             valid = slot < cnt_b[j]
             fj = lax.dynamic_slice_in_dim(fpad, o[j], CB, axis=0)
             ij = lax.dynamic_slice_in_dim(ipad, o[j], CB, axis=0)
-            fj = jnp.where(valid, fj, jnp.where(jnp.arange(10) == 3, 0.0, fj))
+            fj = jnp.where(valid, fj, jnp.where(_gm_cols, 0.0, fj))
             ij = jnp.where(
                 valid,
                 ij,
@@ -747,9 +824,10 @@ def persistent_shard_fns(
         mo = jnp.argsort(rk)
         myk = rk[mo]
         myo = recv_i[:, :, 1].reshape(C_own)[mo]
-        myf = recv_f.reshape(C_own, 10)[mo]
+        myf = recv_f.reshape(C_own, NF)[mo]
         return _regroup(
-            myk, myo, myf, border, spl, bucket_overflow, jnp.int32(0)
+            myk, myo, myf, border, spl, bucket_overflow, jnp.int32(0),
+            center=center,
         )
 
     def migrant_resort(st):
@@ -767,17 +845,29 @@ def persistent_shard_fns(
         vel_f = jnp.transpose(st["vel"], (0, 2, 1)).reshape(M_l, 3)
         acc_f = jnp.transpose(st["acc"], (0, 2, 1)).reshape(M_l, 3)
         orig_f = st["orig"].reshape(M_l)
-        fall = jnp.concatenate(
-            [pos_f, gm_f[:, None], vel_f, acc_f], axis=1
-        ).astype(jnp.float32)
+        cols = [pos_f, gm_f[:, None], vel_f, acc_f]
+        if robust:
+            center = st["center"]
+            sgm_f = jnp.where(st["valid"], st["sgm"], 0.0).reshape(M_l)
+            cols.append(sgm_f[:, None])
+            pos_enc = pos_f - center
+        else:
+            center = None
+            sgm_f = None
+            pos_enc = pos_f
+        fall = jnp.concatenate(cols, axis=1).astype(jnp.float32)
 
         real = orig_f < n
+        # oob: a TREE body leaving the frozen cube invalidates the frame;
+        # stashed outliers (sgm > 0) are allowed outside by construction
+        tree_b = real if not robust else (real & (sgm_f <= 0.0))
         maxc = lax.pmax(
-            jnp.max(jnp.where(real[:, None], jnp.abs(pos_f), 0.0)), axis_name
+            jnp.max(jnp.where(tree_b[:, None], jnp.abs(pos_enc), 0.0)),
+            axis_name,
         )
         oob = (2.0 * maxc > border).astype(jnp.int32)
 
-        keys = morton_encode(pos_f, border, _DEPTH)
+        keys = morton_encode(pos_enc, border, _DEPTH)
         keys = jnp.where(real, keys, _SENT_KEY)
         dst = jnp.searchsorted(spl, keys, side="right").astype(jnp.int32)
         stay = real & (dst == k)
@@ -811,7 +901,7 @@ def persistent_shard_fns(
             valid = slot < cnt_m[j]
             fj = lax.dynamic_slice_in_dim(fpad, o_m[j], CB_mig, axis=0)
             ij = lax.dynamic_slice_in_dim(ipad, o_m[j], CB_mig, axis=0)
-            fj = jnp.where(valid, fj, jnp.where(jnp.arange(10) == 3, 0.0, fj))
+            fj = jnp.where(valid, fj, jnp.where(_gm_cols, 0.0, fj))
             ij = jnp.where(
                 valid,
                 ij,
@@ -836,16 +926,16 @@ def persistent_shard_fns(
             [jnp.where(stay, orig_f, n), recv_i[:, :, 1].reshape(-1)]
         )
         comb_f = jnp.concatenate(
-            [jnp.where(stay[:, None], fall, jnp.where(
-                jnp.arange(10) == 3, 0.0, fall)),
-             recv_f.reshape(-1, 10)]
+            [jnp.where(stay[:, None], fall, jnp.where(_gm_cols, 0.0, fall)),
+             recv_f.reshape(-1, NF)]
         )
         mo = jnp.argsort(comb_k)
         myk = comb_k[mo]
         myo = comb_o[mo]
         myf = comb_f[mo]
         assert myk.shape[0] == m_comb
-        return _regroup(myk, myo, myf, border, spl, bucket_overflow, oob)
+        return _regroup(myk, myo, myf, border, spl, bucket_overflow, oob,
+                        center=center)
 
     def local_ft(pg, nid):
         """psum'd per-step float-table rebuild over stale cells: one
@@ -906,6 +996,29 @@ def persistent_shard_fns(
             theta=theta, eps2=softening_sq, leaf_cap=leaf_cap, ld=ld,
             interpret=interpret,
         )
+        if robust:
+            # outlier sources at their CURRENT positions: gather each
+            # chip's (frozen-slot) outlier rows, all_gather + compact to
+            # the replicated (K, 4) table, add the exact rectangle
+            from nbody_tpu.ops.bh_fused import outlier_rect
+
+            pg_flat = jnp.transpose(
+                st["pg"][:, :3, :], (0, 2, 1)
+            ).reshape(M_l, 3)
+            sgm_f = jnp.where(st["valid"], st["sgm"], 0.0).reshape(M_l)
+            osl = st["oslots"]
+            rows_l = jnp.concatenate(
+                [pg_flat[osl], sgm_f[osl][:, None]], axis=1
+            )  # (kq, 4); non-outlier slots carry sgm = 0 (inert)
+            rows_all = lax.all_gather(rows_l, axis_name, axis=0, tiled=True)
+            sel = lax.top_k(rows_all[:, 3], min(kq, rows_all.shape[0]))[1]
+            otab = rows_all[sel]  # <= kq real outliers globally
+            side = outlier_rect(
+                pg_flat, otab[:, :3], otab[:, 3], softening_sq, interpret
+            )
+            acc_g = acc_g + jnp.transpose(
+                side.reshape(keep_l, b, 3), (0, 2, 1)
+            ).astype(acc_g.dtype)
         ovf = lax.pmax(jnp.max(kstats[:, 3]), axis_name)
         return jnp.where(ovf > 0, jnp.float32(jnp.nan), acc_g)
 
@@ -916,6 +1029,11 @@ def persistent_shard_fns(
         "nid": P(axis_name, None), "it": P(), "bsq": P(), "border": P(),
         "spl": P(), "bucket_overflow": P(), "trimmed": P(), "oob": P(),
     }
+    if robust:
+        state_specs.update({
+            "center": P(), "sgm": P(axis_name, None),
+            "oslots": P(axis_name),
+        })
 
     def _smap(fn, in_specs, out_specs):
         return jax.jit(

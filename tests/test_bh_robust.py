@@ -299,3 +299,40 @@ def test_persistent_robust_off_center_cloud():
     want = accel_exhaustive(pos_np, mass_np)
     err = np.abs(got - want).max() / np.abs(want).max()
     assert err < 0.02, err
+
+
+def test_sharded_persistent_robust_matches_oracle(mesh8):
+    """Sharded PERSISTENT robust (the sgm sideband design): escaper-laden
+    off-center cloud, migrant resorts between chunks, vs the fp64
+    leapfrog trajectory.  Covers the frozen centered frame, the stashed
+    G*mass riding the exchanges, and the per-step outlier table."""
+    from nbody_tpu.core.types import Bodies
+    from nbody_tpu.integrate.leapfrog import leapfrog_steps
+    from nbody_tpu.ops.exhaustive import exhaustive_accelerations
+    from nbody_tpu.parallel.bh_shard import simulate_persistent_sharded
+    from nbody_tpu.parallel.sharding import shard_bodies
+
+    n = 512
+    pos_np, mass_np = _cloud_with_outliers(n=n, n_out=4, seed=13)
+    pos_np = pos_np + np.array([2.0, -1.0, 1.5])
+    rng = np.random.default_rng(13)
+    vel_np = rng.uniform(-0.1, 0.1, (n, 3))
+    pos = jnp.asarray(pos_np, jnp.float32)
+    vel = jnp.asarray(vel_np, jnp.float32)
+    mass = jnp.asarray(mass_np, jnp.float32)
+    bodies = shard_bodies(Bodies(pos, vel, mass), mesh=mesh8)
+    p_s, v_s = simulate_persistent_sharded(
+        bodies, 4, 1e-3, mesh=mesh8, resort_every=2, max_drift_frac=0.0,
+        G=1.0, softening_sq=0.01, theta=0.5, group_size=128,
+        robust_slots=32,
+    )
+    ref, _ = leapfrog_steps(
+        Bodies(pos, vel, mass), 4, 1e-3,
+        lambda p, m: exhaustive_accelerations(
+            p, m, G=1.0, softening_sq=0.01),
+    )
+    dp = np.abs(np.asarray(p_s)[:n] - np.asarray(ref.pos)).max()
+    assert np.isfinite(dp) and dp < 1e-3, dp
+    dv = np.abs(np.asarray(v_s)[:n] - np.asarray(ref.vel)).max()
+    scale = float(jnp.abs(ref.vel).max())
+    assert dv / scale < 0.02, dv / scale
