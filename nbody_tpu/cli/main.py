@@ -226,8 +226,9 @@ def build_parser() -> argparse.ArgumentParser:
         "2.5; overflow errors prescribe the value the worst bucket needs)")
     p.add_argument(
         "--halo-cap", type=int, default=0,
-        help="sharded fused Barnes-Hut halo slots per chip pair (0 = "
-        "auto; overflow errors prescribe the value the worst pair needs)")
+        help="sharded fused Barnes-Hut halo slots per chip pair, one-shot "
+        "AND persistent (--resort-every) paths (0 = auto; overflow errors "
+        "prescribe the value the worst pair needs)")
     p.add_argument(
         "--resort-every",
         type=int,
@@ -809,7 +810,7 @@ def main(argv=None) -> int:
                     progress_fn=progress_fn,
                     **{k: v for k, v in _shard_fused_kwargs(args).items()
                        if k in ("group_size", "leaf_cap", "bucket_frac",
-                                "robust_slots", "ld")},
+                                "robust_slots", "ld", "halo_cap")},
                 )
             except CapacityError as e:
                 print(f"error: {e}", file=sys.stderr)

@@ -904,9 +904,13 @@ def barneshut_fused(
 
     if return_stats:
         return acc, {
-            "pops": jnp.sum(stats[:, S_POPS]),
-            "staged_sources": jnp.sum(stats[:, S_SRC]),
-            "near_bodies": jnp.sum(stats[:, S_NEAR]),
+            # volume diagnostics sum in f32: per-group counts fit i32, but
+            # the totals pass 2^31 at 10M-scale clustered inputs (~0.01%
+            # rounding is irrelevant for reporting; nothing consumes these
+            # for capacity decisions)
+            "pops": jnp.sum(stats[:, S_POPS].astype(jnp.float32)),
+            "staged_sources": jnp.sum(stats[:, S_SRC].astype(jnp.float32)),
+            "near_bodies": jnp.sum(stats[:, S_NEAR].astype(jnp.float32)),
             "frontier_overflow": jnp.max(stats[:, S_OVF]),
             "trimmed_groups": trimmed,
         }

@@ -421,8 +421,10 @@ def fused_shard_force_fn(
             "frontier_overflow": lax.pmax(
                 jnp.max(kstats[:, 3]), axis_name
             ).reshape(()),
+            # f32 sum: the global total wraps i32 at 10M-scale clustered
+            # inputs (reporting only, same note as bh_fused)
             "near_bodies": lax.psum(
-                jnp.sum(kstats[:, 2]), axis_name
+                jnp.sum(kstats[:, 2].astype(jnp.float32)), axis_name
             ).reshape(()),
             "halo_overflow": halo_ovf.reshape(()),
         }
@@ -510,7 +512,9 @@ def check_sharded_fused(bodies, mesh=None, **kw):
 # resort.  Between resorts each chip integrates its own groups in the kernel's
 # planar layout (ops/bh_persistent.py, single-chip analog); per step the only
 # collectives are a psum of the dense grid's float fields (~5 MB at ld=6) and
-# the all_gather of the planar slot arrays for near-field DMA.  Bodies may
+# the near-field source exchange — the Morton-halo all_to_all (plan frozen
+# per regroup; per-chip O(N/P + halo) memory) above HALO_THRESHOLD, the
+# planar-slot all_gather below it.  Bodies may
 # drift outside their chip's Morton range between resorts — ownership is by
 # redistribution, not position, and the MAC staleness contract is identical
 # to the single-chip persistent path.
@@ -554,11 +558,30 @@ def persistent_shard_fns(
     migrant_frac: float = 0.125,
     robust_slots: int = 0,
     ld: int = 0,
+    halo: bool | None = None,
+    halo_cap: int = 0,
+    halo_pad_frac: float = 0.5,
     interpret: bool | None = None,
 ):
     """Build (init_fn, resort_fn, prime_fn, steps_fn, emit_fn) for the
     sharded persistent integrator.  State is a dict pytree: per-chip
     group-layout leaves sharded on axis 0, tree tables replicated.
+
+    `halo` selects the per-step near-field source exchange: False
+    all_gathers the planar slots (per-chip O(N) memory), True runs the
+    Morton-halo exchange (parallel/bh_halo.py) — and unlike the one-shot
+    path the PLAN is computed once per regroup, not per step: the
+    stageability flags test chip AABBs inflated by `halo_pad_frac`
+    terminal cells (2x the default drift-guard bound, the same staleness
+    contract the MAC already rides), so between resorts each step only
+    ships current body rows through one fixed-index all_to_all.  The
+    premise (every body stays inside its chip's padded regroup AABB) is
+    re-checked in-graph each step and NaN-poisons the forces on
+    violation — never silent.  None auto-enables above HALO_THRESHOLD
+    bodies except in robust mode (an outlier target's chip AABB spans
+    the whole system, so its halo degenerates to the full gather; a
+    forced halo=True there stays sound but will demand an
+    all_gather-scale --halo-cap).
 
     `robust_slots` (0 off, negative auto = max(128, n // 512)) runs the
     exact outlier hybrid on this layout: the frozen Morton frame is the
@@ -605,6 +628,14 @@ def persistent_shard_fns(
     k_terminal = 8**ld
     M_l = keep_l * b
     kq = min(kq, M_l)
+    use_halo = (
+        halo if halo is not None else (n >= HALO_THRESHOLD and not robust)
+    ) and n_dev > 1
+    h_cap = (
+        (_round_up(int(halo_cap), 128) if halo_cap
+         else _round_up(max(256, M_l // 8), 128))
+        if use_halo else 0
+    )
     CB_mig = _round_up(max(128, int(migrant_frac * C)), 128)
     NF = 11 if robust else 10  # float row [x y z gm vx vy vz ax ay az (sgm)]
 
@@ -687,7 +718,50 @@ def persistent_shard_fns(
         )
         from nbody_tpu.ops.bh_fused import pack_it
 
-        it = pack_it(tree, ld)
+        halo_extra = {}
+        if use_halo:
+            from nbody_tpu.parallel import bh_halo
+
+            # plan ONCE PER REGROUP (the one-shot path plans per force
+            # eval): flags are exact grid geometry vs the chip AABBs
+            # inflated by halo_pad_frac terminal cells, covering the
+            # drift-guard-bounded motion until the next resort.  AABBs
+            # live in the tree's Morton frame (robust mode: centered).
+            pos_flat = jnp.transpose(pg[:, :3, :], (0, 2, 1)).reshape(M_l, 3)
+            if center is not None:
+                pos_flat = pos_flat - center.reshape(1, 3).astype(jnp.float32)
+            valid_flat = group_valid.reshape(M_l)
+            aabbs = bh_halo.chip_aabbs(pos_flat, valid_flat, axis_name)
+            cellw = border.astype(jnp.float32) / jnp.float32(1 << ld)
+            pad = jnp.float32(halo_pad_frac) * cellw
+            span_all = tree.cnt[0]
+            start_all = tree.start[0]
+            flags = bh_halo.halo_flags(
+                span_all, border.astype(jnp.float32), theta, leaf_cap, ld,
+                aabbs, pad=pad,
+            )
+            plan = bh_halo.halo_plan(start_all, span_all, flags, M_l, h_cap)
+            slots_g = plan["send_slots"](k)  # (P, H) global, dst-major
+            halo_extra = {
+                "halo_lsl": jnp.clip(slots_g - k * M_l, 0, M_l - 1),
+                "halo_cnt": plan["counts"][:, k].astype(jnp.int32),
+                "halo_ovf": lax.pmax(
+                    jnp.maximum(plan["overflow"], 0), axis_name
+                ).reshape(()),
+                # the planned premise box [lo - pad | hi + pad]: every
+                # body must stay inside it until the next resort
+                # (local_force re-checks and poisons on violation)
+                "halo_box": jnp.concatenate(
+                    [aabbs[k, 0:3] - pad, aabbs[k, 3:6] + pad]
+                ).reshape(1, 6),
+            }
+            new_start = bh_halo.rewrite_starts(
+                start_all, span_all, flags, plan["packed"],
+                plan["counts"], k, M_l, h_cap,
+            )
+            it = pack_it(tree._replace(start=new_start[None, :]), ld)
+        else:
+            it = pack_it(tree, ld)
         lev = jnp.arange(16, dtype=jnp.float32)
         bsq = (border.astype(jnp.float32) / jnp.exp2(lev)) ** 2
         st = {
@@ -708,6 +782,7 @@ def persistent_shard_fns(
                 sgm_slot.reshape(M_l), kq
             )[1].astype(jnp.int32)
             st["center"] = center.reshape(3).astype(jnp.float32)
+        st.update(halo_extra)
         return st
 
     import numpy as _np
@@ -989,7 +1064,45 @@ def persistent_shard_fns(
     def local_force(st):
         ft = local_ft(st["pg"], st["nid"])
         ps_l = jnp.transpose(st["pg"], (1, 0, 2)).reshape(4, M_l)
-        ps = lax.all_gather(ps_l, axis_name, axis=1, tiled=True)
+        halo_viol = jnp.int32(0)
+        if use_halo:
+            # frozen-plan exchange: ship CURRENT rows of the slots the
+            # regroup-time plan selected (one fixed-index all_to_all,
+            # O(M_l + P*H) per chip instead of the O(N) all_gather)
+            okr = (
+                jnp.arange(h_cap, dtype=jnp.int32)[None, :]
+                < st["halo_cnt"][:, None]
+            )
+            send = jnp.where(
+                okr[:, None, :],
+                ps_l[:, st["halo_lsl"]].transpose(1, 0, 2),
+                0.0,
+            )  # (P, 4, H)
+            recv = lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0)
+            ps = jnp.concatenate(
+                [ps_l, recv.transpose(1, 0, 2).reshape(4, n_dev * h_cap)],
+                axis=1,
+            )
+            # premise check: the plan is provably sufficient only while
+            # every body sits inside its chip's padded regroup AABB
+            pos_cur = jnp.transpose(st["pg"][:, :3, :], (0, 2, 1)).reshape(
+                M_l, 3
+            )
+            if robust:
+                pos_cur = pos_cur - st["center"].reshape(1, 3)
+            vflat = st["valid"].reshape(M_l)[:, None]
+            big = jnp.float32(3e38)
+            lo = jnp.min(jnp.where(vflat, pos_cur, big), axis=0)
+            hi = jnp.max(jnp.where(vflat, pos_cur, -big), axis=0)
+            box = st["halo_box"].reshape(6)
+            halo_viol = lax.pmax(
+                (jnp.any(lo < box[0:3]) | jnp.any(hi > box[3:6])).astype(
+                    jnp.int32
+                ),
+                axis_name,
+            )
+        else:
+            ps = lax.all_gather(ps_l, axis_name, axis=1, tiled=True)
         acc_g, kstats = fused_group_forces(
             st["gcount"], st["pg"], ft, st["it"], ps, st["bsq"],
             aux_octet_offsets(),
@@ -1020,15 +1133,30 @@ def persistent_shard_fns(
                 side.reshape(keep_l, b, 3), (0, 2, 1)
             ).astype(acc_g.dtype)
         ovf = lax.pmax(jnp.max(kstats[:, 3]), axis_name)
-        return jnp.where(ovf > 0, jnp.float32(jnp.nan), acc_g)
+        if use_halo:
+            # an overflowed plan must never produce forces (its packed
+            # offsets alias other segments); the driver rebalances or
+            # raises before stepping, this poison is the in-graph backstop
+            halo_viol = halo_viol + (st["halo_ovf"] > 0).astype(jnp.int32)
+        return jnp.where(
+            (ovf > 0) | (halo_viol > 0), jnp.float32(jnp.nan), acc_g
+        )
 
     state_specs = {
         "pg": P(axis_name, None, None), "vel": P(axis_name, None, None),
         "acc": P(axis_name, None, None), "valid": P(axis_name, None),
         "gcount": P(axis_name), "orig": P(axis_name, None),
-        "nid": P(axis_name, None), "it": P(), "bsq": P(), "border": P(),
+        # with halo, the int octet table's starts are rewritten per chip
+        # ([own | halo] layout) — sharded, not replicated
+        "it": P(axis_name, None) if use_halo else P(),
+        "nid": P(axis_name, None), "bsq": P(), "border": P(),
         "spl": P(), "bucket_overflow": P(), "trimmed": P(), "oob": P(),
     }
+    if use_halo:
+        state_specs.update({
+            "halo_lsl": P(axis_name, None), "halo_cnt": P(axis_name),
+            "halo_ovf": P(), "halo_box": P(axis_name, None),
+        })
     if robust:
         state_specs.update({
             "center": P(), "sgm": P(axis_name, None),
@@ -1171,8 +1299,8 @@ def simulate_persistent_sharded(
     def check(st):
         bad = {
             name: int(st[name])
-            for name in ("bucket_overflow", "trimmed")
-            if int(st[name]) > 0
+            for name in ("bucket_overflow", "trimmed", "halo_ovf")
+            if name in st and int(st[name]) > 0
         }
         if bad:
             fixes = []
@@ -1191,6 +1319,21 @@ def simulate_persistent_sharded(
                     "is provably sized; trimming means pathological "
                     "clustering at this group size)"
                 )
+            if int(st.get("halo_ovf", 0)) > 0:
+                n_dev = mesh.devices.size
+                _, b_l, _, _, _, _, keep_l = _shard_layout(
+                    n, n_dev, kw.get("group_size", 1024),
+                    kw.get("bucket_frac", 2.5), kw.get("ld", 0),
+                )
+                h_now = kw.get("halo_cap", 0) or _round_up(
+                    max(256, keep_l * b_l // 8), 128
+                )
+                need_h = _round_up(h_now + int(st["halo_ovf"]), 128)
+                fixes.append(
+                    f"the worst chip pair's halo union needed "
+                    f"{h_now + int(st['halo_ovf'])} slots (capacity "
+                    f"{h_now}): pass --halo-cap {need_h}"
+                )
             raise CapacityError(
                 f"sharded persistent Barnes-Hut capacity overflow: {bad}; "
                 + "; ".join(fixes)
@@ -1203,6 +1346,10 @@ def simulate_persistent_sharded(
             int(st["bucket_overflow"]) > 0
             or int(st["trimmed"]) > 0
             or int(st["oob"]) > 0
+            # a halo plan that outgrew its capacity: the fresh init
+            # recomputes AABBs/splitters and may fit again (check()
+            # raises with the prescriptive --halo-cap if not)
+            or int(st.get("halo_ovf", 0)) > 0
         )
 
     def rebalance(prev):

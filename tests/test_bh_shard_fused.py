@@ -286,3 +286,70 @@ def test_sharded_persistent_oob_rebalance(mesh):
     assert dp < 5e-3, dp
     # the escaper really did leave the initial cube (the test premise)
     assert np.abs(want[7]).max() > 2.0 * np.abs(np.asarray(pos)).max()
+
+
+def test_sharded_persistent_halo_matches_gather(mesh):
+    """Persistent halo exchange (plan frozen per regroup, per-step
+    fixed-index all_to_all of body rows) must match the all_gather path:
+    same trajectory up to float summation order, zero overflow, finite."""
+    from nbody_tpu.core.types import Bodies
+    from nbody_tpu.parallel.bh_shard import simulate_persistent_sharded
+
+    n = 512
+    pos, vel, mass = _cloud(n, seed=31)
+    bodies = shard_bodies(Bodies(pos, vel, mass), mesh=mesh)
+    kw = dict(
+        mesh=mesh, resort_every=2, G=G, softening_sq=EPS2, theta=0.5,
+        group_size=128,
+    )
+    p_h, v_h = simulate_persistent_sharded(
+        bodies, 4, 1e-3, halo=True, halo_cap=4096, **kw
+    )
+    p_g, v_g = simulate_persistent_sharded(bodies, 4, 1e-3, halo=False, **kw)
+    got, want = np.asarray(p_h)[:n], np.asarray(p_g)[:n]
+    assert np.isfinite(got).all()
+    dp = np.abs(got - want).max()
+    # identical sources in a different near-field memory order: only
+    # summation-order float noise integrated over 4 steps
+    assert dp < 1e-5, dp
+    dv = np.abs(np.asarray(v_h)[:n] - np.asarray(v_g)[:n]).max()
+    assert dv < 1e-4, dv
+
+
+def test_sharded_persistent_halo_overflow_raises(mesh):
+    """An undersized persistent halo capacity must raise the prescriptive
+    CapacityError at init, never run with an aliased plan."""
+    from nbody_tpu.core.types import Bodies
+    from nbody_tpu.ops.barneshut import CapacityError
+    from nbody_tpu.parallel.bh_shard import simulate_persistent_sharded
+
+    # 2048 bodies / 8 chips = ~256 occupied slots per chip; at theta=0.5
+    # on a compact cloud nearly every remote cell is stageable, so the
+    # per-(dst, src) halo union exceeds the minimum 128-slot capacity
+    n = 2048
+    pos, vel, mass = _cloud(n, seed=37)
+    bodies = shard_bodies(Bodies(pos, vel, mass), mesh=mesh)
+    with pytest.raises(CapacityError, match="--halo-cap"):
+        simulate_persistent_sharded(
+            bodies, 2, 1e-3, mesh=mesh, resort_every=2, halo=True,
+            halo_cap=128, G=G, softening_sq=EPS2, theta=0.5, group_size=128,
+        )
+
+
+def test_sharded_persistent_halo_violation_poisons(mesh):
+    """Bodies drifting past the planned padded AABB (drift guard disabled,
+    zero pad) must NaN-poison the forces — the premise check is in-graph,
+    violations are never silent."""
+    from nbody_tpu.core.types import Bodies
+    from nbody_tpu.parallel.bh_shard import simulate_persistent_sharded
+
+    n = 512
+    pos, vel, mass = _cloud(n, seed=41)
+    vel = vel * 50.0  # crosses many terminal cells per 4-step chunk
+    bodies = shard_bodies(Bodies(pos, vel, mass), mesh=mesh)
+    p_h, v_h = simulate_persistent_sharded(
+        bodies, 4, 1e-2, mesh=mesh, resort_every=4, max_drift_frac=0.0,
+        halo=True, halo_cap=4096, halo_pad_frac=0.0,
+        G=G, softening_sq=EPS2, theta=0.5, group_size=128,
+    )
+    assert np.isnan(np.asarray(p_h)[:n]).any()
