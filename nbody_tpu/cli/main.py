@@ -149,6 +149,16 @@ def build_parser() -> argparse.ArgumentParser:
         "2M bodies",
     )
     p.add_argument(
+        "--mesh-shape",
+        type=str,
+        default="",
+        metavar="PIxPJ",
+        help="2-D torus force decomposition for sharded exhaustive runs: "
+        "'PIxPJ' (PI*PJ = device count) or 'auto' (most-square); per-chip "
+        "j-side memory/traffic drops from the 1-D gather's O(N) to "
+        "O(N/PI + N/PJ), each collective riding one ICI torus dimension",
+    )
+    p.add_argument(
         "--energy",
         action="store_true",
         help="print KE/PE before and after and the relative energy drift",
@@ -384,7 +394,15 @@ def build_force_fn(args, n: int):
                 rect = partial(
                     rect_accelerations, G=args.G, softening_sq=args.softening2
                 )
-            force = shard_force_fn(rect, jstream=args.jstream)
+            if getattr(args, "mesh_shape", ""):
+                from nbody_tpu.parallel.mesh import make_mesh2d
+                from nbody_tpu.parallel.sharding import shard_force_fn2d
+
+                force = shard_force_fn2d(
+                    rect, mesh=make_mesh2d(args.mesh_shape)
+                )
+            else:
+                force = shard_force_fn(rect, jstream=args.jstream)
         elif backend == "pallas":
             from nbody_tpu.ops.pallas_exhaustive import pallas_accelerations
 
@@ -633,12 +651,27 @@ def main(argv=None) -> int:
         print("Per-phase force-eval breakdown:")
         print(bh_phases.report(times))
 
+    if getattr(args, "mesh_shape", "") and (
+        not args.shard or algo != "exhaustive"
+    ):
+        print(
+            "error: --mesh-shape requires --shard --algo exhaustive "
+            "(the Barnes-Hut pipeline shards Morton ranges on a 1-D mesh)",
+            file=sys.stderr,
+        )
+        return 2
+
     if args.shard:
         from nbody_tpu.parallel.sharding import shard_bodies
 
+        mesh2d = None
+        if getattr(args, "mesh_shape", ""):
+            from nbody_tpu.parallel.mesh import make_mesh2d
+
+            mesh2d = make_mesh2d(args.mesh_shape)
         # Barnes-Hut sharding assigns whole Morton groups per chip.
         multiple = (args.bh_group_size or 512) if algo == "barnes-hut" else 1
-        bodies = shard_bodies(bodies, multiple=multiple)
+        bodies = shard_bodies(bodies, mesh=mesh2d, multiple=multiple)
 
         if (
             algo == "barnes-hut"
@@ -668,9 +701,13 @@ def main(argv=None) -> int:
         f"Start: {t0:f}, end: {args.end_time:f}, delta time: "
         f"{dt:f}, time steps: {n_steps}, ents: {bodies.n}, G: {args.G:g}"
     )
+    mesh_note = (
+        f", mesh: {args.mesh_shape}"
+        if getattr(args, "mesh_shape", "") else ""
+    )
     print(
         f"Algorithm: {algo}, backend: {backend}, dtype: {args.dtype}, "
-        f"shard: {args.shard}"
+        f"shard: {args.shard}{mesh_note}"
     )
 
     def measure_energy(b):

@@ -14,6 +14,7 @@ from typing import Sequence
 import numpy as np
 
 BODY_AXIS = "bodies"
+J_AXIS = "jbodies"
 
 
 def make_mesh(devices: Sequence | None = None, axis_name: str = BODY_AXIS):
@@ -23,6 +24,49 @@ def make_mesh(devices: Sequence | None = None, axis_name: str = BODY_AXIS):
     if devices is None:
         devices = jax.devices()
     return jax.sharding.Mesh(np.asarray(devices), (axis_name,))
+
+
+def parse_mesh_shape(spec: str, n_dev: int) -> tuple[int, int]:
+    """'PIxPJ' -> (pi, pj); 'auto' -> the most-square factorization with
+    pi >= pj (the i-axis carries the larger per-chip row block)."""
+    if spec == "auto":
+        pj = int(np.sqrt(n_dev))
+        while n_dev % pj:
+            pj -= 1
+        return n_dev // pj, pj
+    try:
+        pi_s, pj_s = spec.lower().split("x")
+        pi, pj = int(pi_s), int(pj_s)
+    except ValueError:
+        raise ValueError(f"mesh shape {spec!r} is not 'PIxPJ'") from None
+    if pi * pj != n_dev:
+        raise ValueError(
+            f"mesh shape {spec!r} = {pi * pj} devices, have {n_dev}"
+        )
+    return pi, pj
+
+
+def make_mesh2d(
+    shape: tuple[int, int] | str = "auto",
+    devices: Sequence | None = None,
+):
+    """A (BODY_AXIS, J_AXIS) 2-D mesh for the torus force decomposition
+    (sharding.shard_force_fn2d).  On real hardware the axis order follows
+    jax.devices() row-major, which the runtime lays out along the ICI
+    torus; each collective then rides one torus dimension."""
+    import jax
+
+    if devices is None:
+        devices = jax.devices()
+    n_dev = len(devices)
+    if isinstance(shape, str):
+        shape = parse_mesh_shape(shape, n_dev)
+    pi, pj = shape
+    if pi * pj != n_dev:
+        raise ValueError(f"mesh shape {pi}x{pj} needs {pi * pj} devices")
+    return jax.sharding.Mesh(
+        np.asarray(devices).reshape(pi, pj), (BODY_AXIS, J_AXIS)
+    )
 
 
 def device_report() -> str:

@@ -10,7 +10,12 @@ story is re-architected for TPU ICI:
 * each step, every chip `all_gather`s the (pos, Gm) j-side over ICI and
   computes the rectangular force block for its local i-rows — the same
   dataflow as the CUDA shared-memory j-tile streaming, lifted one level up
-  the memory hierarchy (HBM->VMEM becomes ICI->HBM);
+  the memory hierarchy (HBM->VMEM becomes ICI->HBM) — or, above
+  RING_THRESHOLD, streams it shard-by-shard around a `ppermute` ring;
+* on a 2-D (pi, pj) mesh (mesh.make_mesh2d), `shard_force_fn2d` tiles the
+  interaction matrix into (row group) x (column group) blocks so per-chip
+  j-side memory and traffic drop to O(N/pi + N/pj), each collective
+  riding one ICI torus dimension;
 * reductions (energy, bounding box) are `psum`/`pmax` collectives.
 
 Kick/drift are purely elementwise, so under jit with sharded inputs XLA
@@ -30,7 +35,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from nbody_tpu.core import constants
 from nbody_tpu.core.types import Bodies
-from nbody_tpu.parallel.mesh import BODY_AXIS, make_mesh
+from nbody_tpu.parallel.mesh import BODY_AXIS, J_AXIS, make_mesh
 
 # rect force signature: (pos_i, pos_all, mass_all) -> acc_i
 RectForceFn = Callable[[jax.Array, jax.Array, jax.Array], jax.Array]
@@ -55,8 +60,13 @@ def shard_bodies(bodies: Bodies, mesh=None, multiple: int = 1) -> Bodies:
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
     bodies = bodies.pad(n_dev * multiple)
-    sh3 = NamedSharding(mesh, P(BODY_AXIS, None))
-    sh1 = NamedSharding(mesh, P(BODY_AXIS))
+    # 2-D (BODY_AXIS, J_AXIS) meshes shard bodies over BOTH axes flattened:
+    # the device at mesh position (a, b) owns global segment a * pj + b.
+    ax = (
+        (BODY_AXIS, J_AXIS) if J_AXIS in mesh.axis_names else BODY_AXIS
+    )
+    sh3 = NamedSharding(mesh, P(ax, None))
+    sh1 = NamedSharding(mesh, P(ax))
     return Bodies(
         jax.device_put(bodies.pos, sh3),
         jax.device_put(bodies.vel, sh3),
@@ -127,6 +137,103 @@ def shard_force_fn(
             in_specs=(P(axis_name, None), P(axis_name)),
             out_specs=P(axis_name, None),
             check_vma=False,  # pallas_call outputs carry no vma annotations
+        )
+    )
+
+
+def shard_force_fn2d(
+    rect_fn: Optional[RectForceFn] = None,
+    mesh=None,
+):
+    """2-D torus force decomposition: (pos, mass) sharded over a
+    (BODY_AXIS, J_AXIS) mesh (mesh.make_mesh2d) -> acc, same sharding.
+
+    The 1-D design's per-step j-side traffic is O(N) per chip (gather)
+    or P sequential hops (ring).  The classic 2-D decomposition cuts
+    both: partition the P = pi*pj chips into a (pi, pj) grid, bodies
+    into P segments (chip (a, b) owns segment a*pj + b); chip (a, b)
+    computes the force block (row group a) x (column group b), where
+
+    * row group a  = all_gather over J_AXIS of the (a, *) chips'
+      segments — contiguous global rows [a*N/pi, (a+1)*N/pi);
+    * column group b = all_gather over BODY_AXIS of the (*, b) chips'
+      segments — a strided 1/pj subset of all bodies (order is a fixed
+      permutation; forces sum over all j regardless);
+    * the (N/pi, 3) partial block reduces over J_AXIS with ONE
+      psum_scatter whose b-th output chunk is exactly segment a*pj + b
+      — each chip receives only its own rows.
+
+    Per chip: memory O(N/pi + N/pj), compute O(N^2/P), and the three
+    collectives each ride ONE torus dimension (the j-gather moves
+    N/pi rows over the pj-ring, the i-gather N/pj rows over the
+    pi-ring) — the TPU-pod mapping of the reference's j-tile streaming
+    (cuda/exhaustive.cu:303-331) scaled to two ICI axes.  At pi = pj =
+    sqrt(P) per-chip traffic falls from O(N) to O(N/sqrt(P)).
+    """
+    mesh = mesh or make_mesh()
+    if J_AXIS not in mesh.axis_names:
+        raise ValueError("shard_force_fn2d needs a make_mesh2d mesh")
+    if rect_fn is None:
+        rect_fn = default_rect_fn()
+
+    def local(pos_l, mass_l):
+        pos_i = lax.all_gather(pos_l, J_AXIS, axis=0, tiled=True)
+        pos_j = lax.all_gather(pos_l, BODY_AXIS, axis=0, tiled=True)
+        mass_j = lax.all_gather(mass_l, BODY_AXIS, axis=0, tiled=True)
+        blk = rect_fn(pos_i, pos_j, mass_j)  # (N/pi, 3) partial forces
+        return lax.psum_scatter(
+            blk, J_AXIS, scatter_dimension=0, tiled=True
+        )
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P((BODY_AXIS, J_AXIS), None), P((BODY_AXIS, J_AXIS))),
+            out_specs=P((BODY_AXIS, J_AXIS), None),
+            check_vma=False,  # pallas_call outputs carry no vma annotations
+        )
+    )
+
+
+def sharded_energy2d(
+    mesh=None,
+    G: float = constants.BIG_G,
+):
+    """(pos, vel, mass) on a 2-D mesh -> (KE, PE): each chip sums the
+    (row group a) x (column group b) PE block — the blocks tile the full
+    N x N matrix exactly once — then psum over both axes."""
+    mesh = mesh or make_mesh()
+    if J_AXIS not in mesh.axis_names:
+        raise ValueError("sharded_energy2d needs a make_mesh2d mesh")
+
+    def local(pos_l, vel_l, mass_l):
+        dtype = pos_l.dtype
+        ke_l = 0.5 * jnp.sum(mass_l * jnp.sum(vel_l * vel_l, axis=-1))
+        pos_i = lax.all_gather(pos_l, J_AXIS, axis=0, tiled=True)
+        mass_i = lax.all_gather(mass_l, J_AXIS, axis=0, tiled=True)
+        pos_j = lax.all_gather(pos_l, BODY_AXIS, axis=0, tiled=True)
+        mass_j = lax.all_gather(mass_l, BODY_AXIS, axis=0, tiled=True)
+        d = pos_j[None, :, :] - pos_i[:, None, :]
+        r = jnp.sqrt(jnp.sum(d * d, axis=-1))
+        inv_r = jnp.where(r > 0, 1.0 / jnp.where(r > 0, r, 1.0), 0.0)
+        pe_l = jnp.sum(-mass_i[:, None] * mass_j[None, :] * inv_r)
+        ke = lax.psum(lax.psum(ke_l, BODY_AXIS), J_AXIS)
+        pe = lax.psum(lax.psum(pe_l, BODY_AXIS), J_AXIS)
+        # both (i, j) and (j, i) appear across the block tiling: halve,
+        # diagonal zero via the r == 0 guard (reference upper triangle).
+        return ke.reshape(()), pe.reshape(()) * jnp.asarray(0.5 * G, dtype)
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P((BODY_AXIS, J_AXIS), None),
+                P((BODY_AXIS, J_AXIS), None),
+                P((BODY_AXIS, J_AXIS)),
+            ),
+            out_specs=(P(), P()),
         )
     )
 
