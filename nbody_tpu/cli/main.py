@@ -578,6 +578,18 @@ def main(argv=None) -> int:
             )
     else:
         args.bh_robust = args.bh_robust == "on"
+
+    if getattr(args, "mesh_shape", ""):
+        import jax as _jx_m
+
+        from nbody_tpu.parallel.mesh import parse_mesh_shape
+
+        try:
+            parse_mesh_shape(args.mesh_shape, len(_jx_m.devices()))
+        except ValueError as e:
+            print(f"error: --mesh-shape: {e}", file=sys.stderr)
+            return 2
+
     force, algo, backend = build_force_fn(args, bodies.n)
 
     if algo == "barnes-hut" and not args.no_capacity_check:

@@ -39,9 +39,9 @@ def parse_mesh_shape(spec: str, n_dev: int) -> tuple[int, int]:
         pi, pj = int(pi_s), int(pj_s)
     except ValueError:
         raise ValueError(f"mesh shape {spec!r} is not 'PIxPJ'") from None
-    if pi * pj != n_dev:
+    if pi < 1 or pj < 1 or pi * pj != n_dev:
         raise ValueError(
-            f"mesh shape {spec!r} = {pi * pj} devices, have {n_dev}"
+            f"mesh shape {spec!r} = {pi}*{pj} devices, have {n_dev}"
         )
     return pi, pj
 

@@ -83,6 +83,8 @@ def test_parse_mesh_shape():
     assert parse_mesh_shape("auto", 7) == (7, 1)
     with pytest.raises(ValueError, match="devices"):
         parse_mesh_shape("2x2", 8)
+    with pytest.raises(ValueError, match="devices"):
+        parse_mesh_shape("-2x-4", 8)
     with pytest.raises(ValueError, match="PIxPJ"):
         parse_mesh_shape("nope", 8)
 
