@@ -589,6 +589,20 @@ def main(argv=None) -> int:
         except ValueError as e:
             print(f"error: --mesh-shape: {e}", file=sys.stderr)
             return 2
+        # usage check BEFORE build_force_fn and the Barnes-Hut capacity
+        # probe (a probe traversal costs minutes of TPU compile; don't pay
+        # it just to reject the flag combination afterwards)
+        algo_early = args.algo
+        if algo_early == "auto":
+            algo_early = "barnes-hut" if bodies.n > 32768 else "exhaustive"
+        if not args.shard or algo_early != "exhaustive":
+            print(
+                "error: --mesh-shape requires --shard --algo exhaustive "
+                "(the Barnes-Hut pipeline shards Morton ranges on a 1-D "
+                "mesh)",
+                file=sys.stderr,
+            )
+            return 2
 
     force, algo, backend = build_force_fn(args, bodies.n)
 
@@ -662,16 +676,6 @@ def main(argv=None) -> int:
             )
         print("Per-phase force-eval breakdown:")
         print(bh_phases.report(times))
-
-    if getattr(args, "mesh_shape", "") and (
-        not args.shard or algo != "exhaustive"
-    ):
-        print(
-            "error: --mesh-shape requires --shard --algo exhaustive "
-            "(the Barnes-Hut pipeline shards Morton ranges on a 1-D mesh)",
-            file=sys.stderr,
-        )
-        return 2
 
     if args.shard:
         from nbody_tpu.parallel.sharding import shard_bodies

@@ -575,9 +575,11 @@ def persistent_shard_fns(
     terminal cells (2x the default drift-guard bound, the same staleness
     contract the MAC already rides), so between resorts each step only
     ships current body rows through one fixed-index all_to_all.  The
-    premise (every body stays inside its chip's padded regroup AABB) is
-    re-checked in-graph each step and NaN-poisons the forces on
-    violation — never silent.  None auto-enables above HALO_THRESHOLD
+    premise — every body stays inside its chip's padded regroup AABB
+    (dst side) AND within halo_pad_frac/2 terminal cells of its regroup
+    position (src side: bounds frozen-cell COM erosion, so unflagged
+    cells provably stay far) — is re-checked in-graph each step and
+    NaN-poisons the forces on violation — never silent.  None auto-enables above HALO_THRESHOLD
     bodies except in robust mode (an outlier target's chip AABB spans
     the whole system, so its halo degenerates to the full gather; a
     forced halo=True there stays sound but will demand an
@@ -754,6 +756,15 @@ def persistent_shard_fns(
                 "halo_box": jnp.concatenate(
                     [aabbs[k, 0:3] - pad, aabbs[k, 3:6] + pad]
                 ).reshape(1, 6),
+                # regroup-time positions: the SOURCE side of the premise.
+                # The flags' far test is sound only while every body sits
+                # within pad/2 of its regroup position (COM erosion on the
+                # source cell + AABB erosion on the dst chip each consume
+                # up to the displacement; their sum must stay <= pad) —
+                # local_force re-checks the exact per-body displacement and
+                # poisons past pad/2, closing the single-step gap the host
+                # drift guard cannot bound (ADVICE r3 medium).
+                "halo_p0": pg[:, :3, :],
             }
             new_start = bh_halo.rewrite_starts(
                 start_all, span_all, flags, plan["packed"],
@@ -1095,10 +1106,24 @@ def persistent_shard_fns(
             lo = jnp.min(jnp.where(vflat, pos_cur, big), axis=0)
             hi = jnp.max(jnp.where(vflat, pos_cur, -big), axis=0)
             box = st["halo_box"].reshape(6)
+            # source side: exact max body displacement since regroup must
+            # stay <= pad/2 (see the halo_p0 comment in _regroup); the box
+            # containment alone lets dst motion consume the whole pad while
+            # source-cell COM drift has no budget at all
+            dd = st["pg"][:, :3, :] - st["halo_p0"]  # (keep_l, 3, b)
+            disp2 = jnp.max(
+                jnp.where(
+                    st["valid"][:, None, :], dd * dd, 0.0
+                ).sum(axis=1)
+            )
+            cellw_v = st["border"].astype(jnp.float32) / jnp.float32(1 << ld)
+            half_pad = jnp.float32(0.5 * halo_pad_frac) * cellw_v
             halo_viol = lax.pmax(
-                (jnp.any(lo < box[0:3]) | jnp.any(hi > box[3:6])).astype(
-                    jnp.int32
-                ),
+                (
+                    jnp.any(lo < box[0:3])
+                    | jnp.any(hi > box[3:6])
+                    | (disp2 > half_pad * half_pad)
+                ).astype(jnp.int32),
                 axis_name,
             )
         else:
@@ -1156,6 +1181,7 @@ def persistent_shard_fns(
         state_specs.update({
             "halo_lsl": P(axis_name, None), "halo_cnt": P(axis_name),
             "halo_ovf": P(), "halo_box": P(axis_name, None),
+            "halo_p0": P(axis_name, None, None),
         })
     if robust:
         state_specs.update({
@@ -1254,6 +1280,8 @@ def persistent_shard_fns(
     # frame routing) without re-deriving _shard_layout's defaults
     make_steps.ld = ld
     make_steps.M_l = M_l
+    make_steps.use_halo = use_halo
+    make_steps.halo_pad_frac = halo_pad_frac
     return init_fn, resort_fn, prime_fn, make_steps, emit_fn
 
 
@@ -1325,8 +1353,14 @@ def simulate_persistent_sharded(
                     n, n_dev, kw.get("group_size", 1024),
                     kw.get("bucket_frac", 2.5), kw.get("ld", 0),
                 )
-                h_now = kw.get("halo_cap", 0) or _round_up(
-                    max(256, keep_l * b_l // 8), 128
+                # same rounding as persistent_shard_fns: the real capacity
+                # is the 128-rounded cap, so the prescription must add the
+                # overflow to THAT (a raw non-multiple cap would prescribe
+                # up to 127 slots short)
+                h_now = (
+                    _round_up(int(kw["halo_cap"]), 128)
+                    if kw.get("halo_cap", 0)
+                    else _round_up(max(256, keep_l * b_l // 8), 128)
                 )
                 need_h = _round_up(h_now + int(st["halo_ovf"]), 128)
                 fixes.append(
@@ -1406,6 +1440,20 @@ def simulate_persistent_sharded(
         else:
             state = steps_cache[key](state, dt)
         done += t
+        if make_steps.use_halo and not np.isfinite(
+            float(jnp.max(jnp.abs(state["acc"])))
+        ):
+            # the in-graph backstops NaN-poison rather than compute wrong
+            # forces; translate to the prescriptive host error
+            pad_f = make_steps.halo_pad_frac
+            raise CapacityError(
+                "sharded persistent Barnes-Hut: forces were NaN-poisoned "
+                "in-graph at step %d — either the halo premise was "
+                "violated (a body moved more than halo_pad_frac/2 = %.3g "
+                "terminal cells since the last resort; raise "
+                "--halo-pad-frac, lower --resort-every, or reduce dt) or "
+                "the traversal stack overflowed" % (done, 0.5 * pad_f)
+            )
         if (
             checkpoint_every > 0
             and checkpoint_fn is not None

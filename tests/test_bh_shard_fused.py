@@ -338,18 +338,47 @@ def test_sharded_persistent_halo_overflow_raises(mesh):
 
 def test_sharded_persistent_halo_violation_poisons(mesh):
     """Bodies drifting past the planned padded AABB (drift guard disabled,
-    zero pad) must NaN-poison the forces — the premise check is in-graph,
-    violations are never silent."""
+    zero pad) must NaN-poison the forces in-graph, and the driver must
+    translate the poison into the prescriptive CapacityError — violations
+    are never silent."""
     from nbody_tpu.core.types import Bodies
+    from nbody_tpu.ops.barneshut import CapacityError
     from nbody_tpu.parallel.bh_shard import simulate_persistent_sharded
 
     n = 512
     pos, vel, mass = _cloud(n, seed=41)
     vel = vel * 50.0  # crosses many terminal cells per 4-step chunk
     bodies = shard_bodies(Bodies(pos, vel, mass), mesh=mesh)
-    p_h, v_h = simulate_persistent_sharded(
-        bodies, 4, 1e-2, mesh=mesh, resort_every=4, max_drift_frac=0.0,
-        halo=True, halo_cap=4096, halo_pad_frac=0.0,
-        G=G, softening_sq=EPS2, theta=0.5, group_size=128,
-    )
-    assert np.isnan(np.asarray(p_h)[:n]).any()
+    with pytest.raises(CapacityError, match="halo"):
+        simulate_persistent_sharded(
+            bodies, 4, 1e-2, mesh=mesh, resort_every=4, max_drift_frac=0.0,
+            halo=True, halo_cap=4096, halo_pad_frac=0.0,
+            G=G, softening_sq=EPS2, theta=0.5, group_size=128,
+        )
+
+
+def test_sharded_persistent_halo_source_drift_poisons(mesh):
+    """SOURCE side of the halo premise (ADVICE r3 medium): a body moving
+    more than halo_pad_frac/2 terminal cells since the regroup erodes the
+    frozen flags' far guarantee (the cell COM it belonged to no longer
+    sits in its cell box) even while the body stays INSIDE its own chip's
+    padded AABB — the dst-side box check alone would pass.  The exact
+    in-graph displacement check must poison and the driver must raise."""
+    from nbody_tpu.core.types import Bodies
+    from nbody_tpu.ops.barneshut import CapacityError
+    from nbody_tpu.parallel.bh_shard import simulate_persistent_sharded
+
+    n = 512
+    pos, vel, mass = _cloud(n, seed=43)
+    # fast body buried inside its octant: cloud spans +-2 (border ~4,
+    # ld=2, cell width ~1, pad/2 = 0.25); it moves 0.4 in 2 steps —
+    # past pad/2 but still well inside its chip's ~2-wide padded AABB
+    pos = pos.at[3].set(jnp.full((3,), 0.05, jnp.float32))
+    vel = vel.at[3].set(jnp.asarray([200.0, 0.0, 0.0], jnp.float32))
+    bodies = shard_bodies(Bodies(pos, vel, mass), mesh=mesh)
+    with pytest.raises(CapacityError, match="halo"):
+        simulate_persistent_sharded(
+            bodies, 2, 1e-3, mesh=mesh, resort_every=2, max_drift_frac=0.0,
+            halo=True, halo_cap=4096, halo_pad_frac=0.5,
+            G=G, softening_sq=EPS2, theta=0.5, group_size=128,
+        )
