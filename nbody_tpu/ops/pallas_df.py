@@ -252,8 +252,9 @@ def _pe_kernel(pi_ref, pj_ref, out_ref):
     s, e = _two_sum(acc_hi, sh[0, 0])
     e = e + (acc_lo + sl[0, 0])
     hi, lo = _quick_two_sum(s, e)
-    row = jnp.zeros_like(out_ref)
-    out_ref[:] = row.at[0, 0].set(hi).at[0, 1].set(lo)
+    # place (hi, lo) at lanes 0/1 without a scatter (not lowerable)
+    lane = lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
+    out_ref[:] = jnp.where(lane == 0, hi, jnp.where(lane == 1, lo, 0.0))
 
 
 # ---------------------------------------------------------------------------

@@ -139,3 +139,62 @@ def test_drift_series_record():
     half = len(drifts) // 2
     first, second = drifts[:half].max(), drifts[half:].max()
     assert second <= 3.0 * max(first, 1e-6), (first, second)
+
+
+DF_RECORD = os.path.join(REPO, "bench", "df_record.json")
+
+
+def test_df_record_well_formed():
+    """The fp64-grade (compensated-f32x2) throughput record: must beat
+    the reference's fp64 GPU all-pairs number (exh_cuda 8.0e8 pairs/s,
+    tests_result.txt:13) by a wide margin and carry a measured f64
+    parity error at df precision."""
+    if not os.path.exists(DF_RECORD):
+        pytest.skip("no df record yet")
+    with open(DF_RECORD) as f:
+        r = json.load(f)
+    assert r["unit"] == "pairs/s"
+    assert r["value"] > 10 * r["ref_fp64_pairs_per_s"]
+    assert r["force_rel_err_vs_f64"] < 1e-12
+
+
+def test_df_perf_envelope_on_tpu():
+    """Re-time the df kernel on the real chip (100k, inside lax.scan)
+    against the recorded round best."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("perf envelope is only meaningful on the real chip")
+    if not os.path.exists(DF_RECORD):
+        pytest.skip("no df record yet")
+    import time
+
+    import jax.numpy as jnp
+    from jax import lax
+
+    from nbody_tpu.ops.pallas_df import pallas_rect_accelerations_df
+
+    with open(DF_RECORD) as f:
+        r = json.load(f)
+    rng = np.random.default_rng(0)
+    n = 100_000
+    pos = jnp.asarray(rng.uniform(-2, 2, (n, 3)))
+    mass = jnp.asarray(rng.uniform(0.04, 1.0, n))
+    steps = 3
+
+    @jax.jit
+    def loop(pos, mass):
+        def body(p, _):
+            return p + 1e-9 * pallas_rect_accelerations_df(p, p, mass), None
+
+        return lax.scan(body, pos, None, length=steps)[0]
+
+    np.asarray(loop(pos, mass)[:1])  # compile + warm
+    t0 = time.perf_counter()
+    np.asarray(loop(pos, mass)[:1])
+    dt = time.perf_counter() - t0
+    pairs = n * n * steps / dt
+    assert pairs > r["value"] / ENVELOPE, (
+        f"df kernel regressed: {pairs:.3e} pairs/s vs recorded "
+        f"{r['value']:.3e} (envelope {ENVELOPE}x)"
+    )

@@ -107,3 +107,30 @@ def test_df_self_term_zero():
     )
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got, 0.0, atol=1e-30)
+
+
+def test_df_sharded_rect():
+    """The df rect kernel under shard_force_fn on the 8-device mesh:
+    --shard --dtype f64 --backend pallas end-to-end force parity."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from functools import partial
+
+    from nbody_tpu.core.types import Bodies
+    from nbody_tpu.parallel.mesh import make_mesh
+    from nbody_tpu.parallel.sharding import shard_bodies, shard_force_fn
+
+    mesh = make_mesh(jax.devices()[:8])
+    pos, mass = _cloud(512, seed=5)
+    b = shard_bodies(
+        Bodies(jnp.asarray(pos), jnp.zeros((512, 3)), jnp.asarray(mass)),
+        mesh=mesh,
+    )
+    rect = partial(pallas_rect_accelerations_df, G=G, interpret=True)
+    force = shard_force_fn(rect, mesh=mesh)
+    got = np.asarray(force(b.pos, b.mass))[:512]
+    want = accel_exhaustive_f64(pos, mass, G=G)
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 1e-12, rel
