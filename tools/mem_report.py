@@ -136,7 +136,7 @@ def collect() -> list[dict]:
         print(rows[-1], flush=True)
         rows.append(exhaustive_row("ring", p))
         print(rows[-1], flush=True)
-    for shape in ((2, 2), (2, 4)):
+    for shape in ((8, 1), (2, 4)):
         rows.append(torus_row(shape))
         print(rows[-1], flush=True)
     for halo in (False, True):
