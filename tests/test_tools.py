@@ -158,3 +158,21 @@ def test_player_headless():
     os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
     shown = play(GOLDEN_EXH, frames=5, fps=1000)
     assert shown == 5
+
+
+def test_make_plots(tmp_path):
+    """Figure generator renders every docs/ figure from the gated bench
+    records (the analog of the reference's img/*.png speedup plots,
+    reference README.md:80-99)."""
+    import importlib
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        make_plots = importlib.import_module("make_plots")
+    finally:
+        sys.path.pop(0)
+    make_plots.main(["--outdir", str(tmp_path)])
+    for name in ("steptime_vs_n.png", "speedup_vs_n.png",
+                 "drift_curve.png", "mem_scaling.png"):
+        p = tmp_path / name
+        assert p.exists() and p.stat().st_size > 10_000, name
