@@ -68,9 +68,10 @@ from nbody_tpu.ops.barneshut import compact_groups, group_bodies
 from nbody_tpu.ops.morton import morton_sort
 
 FRONTIER_CAP = 2048  # octets per level per group (runtime overflow-checked)
+EVAL_CHAINS = 4  # independent source rows evaluated per burst-loop iteration
 
 # stats lanes (per group)
-S_POPS, S_SRC, S_NEAR, S_OVF, S_ROWS = 0, 1, 2, 3, 4
+S_POPS, S_SRC, S_NEAR, S_OVF, S_ROWS, S_FAR = 0, 1, 2, 3, 4, 5
 
 
 def _octs(a, n_oct: int):
@@ -141,6 +142,7 @@ def _fused_kernel(
     rngs,  # VMEM (1, 128) i32 — near-range start staging
     rngc,  # VMEM (1, 128) i32 — near-range count staging
     src,  # VMEM (RB, 4, 128) f32 — staged source rows
+    pk,  # VMEM (RB, 4, 128) f32 — lane-packed eval rows (pack_row)
     ax,  # VMEM (B, 128) f32 lane-accumulators (reduced once at the end)
     ay,  # VMEM (B, 128) f32
     az,  # VMEM (B, 128) f32
@@ -180,7 +182,8 @@ def _fused_kernel(
     do_stage_near = debug_mode not in ("pops", "stagefar")
     do_dma = debug_mode in ("dma", "full")
     do_eval = debug_mode == "full"
-    _SP, NSRC, NRNG, ROWS, PEND_S, PEND_E, POPS, NNEAR, TSRC, OVF = range(10)
+    (_SP, NSRC, NRNG, ROWS, PEND_S, PEND_E, POPS, NNEAR, TSRC, OVF,
+     TROWS, AFAR, PKR, PKL) = range(14)
     FR0 = 16  # st[FR0 + d] = frontier count for level d
     fch = fcap // 128
     g = pl.program_id(0)
@@ -212,52 +215,136 @@ def _fused_kernel(
             pgb = jnp.transpose(pg_ref[gg])  # (4, B) -> (B, 4)
             xi, yi, zi = pgb[:, 0:1], pgb[:, 1:2], pgb[:, 2:3]
 
-            # ---- burst: evaluate all staged source rows against the group -------
-            def burst():
-                nrows = st[ROWS]
+            # ---- eval: branch-free chained loop over PACKED source rows ---------
+            def chain(r):
+                sxr = pk[r, 0:1, :]
+                syr = pk[r, 1:2, :]
+                szr = pk[r, 2:3, :]
+                sgr = pk[r, 3:4, :]
+                dx = sxr - xi  # (B, 128)
+                dy = syr - yi
+                dz = szr - zi
+                r2 = dx * dx + dy * dy + dz * dz + eps2
+                inv = lax.rsqrt(r2)
+                w = sgr * (inv * inv * inv)
+                return w * dx, w * dy, w * dz
 
-                def brow(r, _):
-                    @pl.when(r < nrows)
+            def brow4(q, _):
+                # EVAL_CHAINS independent rows per iteration: one row's
+                # 17-op chain is serial, so a single-row loop can't fill
+                # the VPU's parallel ALUs (round-4 A/B: 175 -> 129 ms at
+                # 1M); independent chains give the scheduler ILP, and the
+                # tree-sum cuts the (B, 128) accumulator read-modify-
+                # writes by EVAL_CHAINS x.  (Full 16-row unroll measured
+                # 1.5x SLOWER in round 3 — it blew the scoped-VMEM stack
+                # and the schedule.)  Accumulate in (B, 128) and reduce
+                # ONCE at kernel end: per-row cross-lane reductions were
+                # the round-1 eval cost.
+                r0 = q * EVAL_CHAINS
+                xs, ys, zs = zip(*[chain(r0 + c) for c in range(EVAL_CHAINS)])
+                ax[...] += sum(xs[1:], xs[0])
+                ay[...] += sum(ys[1:], ys[0])
+                az[...] += sum(zs[1:], zs[0])
+                return 0
+
+            def ztail(r, _):
+                # neutralize tail rows up to the chain multiple: gm = 0
+                # kills finite contributions, coords at 1e20 make r2
+                # overflow to inf so inv = 0 even at eps2 = 0 (no
+                # 0 * inf = NaN path).  ALL coordinate rows must be
+                # written — fresh scratch can hold NaN bit patterns and
+                # one NaN coordinate poisons r2 through 0 * NaN.
+                big = jnp.full((1, 128), 1e20, jnp.float32)
+                pk[r, 0:1, :] = big
+                pk[r, 1:2, :] = big
+                pk[r, 2:3, :] = big
+                pk[r, 3:4, :] = jnp.zeros((1, 128), jnp.float32)
+                return 0
+
+            def eval_pk(k):
+                """Evaluate the first k packed rows (k may be traced)."""
+                st[TROWS] = st[TROWS] + k
+                if do_eval:
+                    nq = (k + EVAL_CHAINS - 1) // EVAL_CHAINS
+                    lax.fori_loop(k, nq * EVAL_CHAINS, ztail, 0)
+                    lax.fori_loop(0, nq, brow4, 0)
+
+            # ---- burst: lane-pack staged rows into dense eval rows ---------------
+            # Round-4 packing: the staged rows are only ~58% occupied at 1M
+            # (near windows are 128-aligned slices of runs averaging ~1.5
+            # windows, far slots ship 8-wide with gm = 0 fillers at ~83%
+            # fill — measured via the S_ROWS/S_FAR receipts).  Eval cost is
+            # per-ROW, so filler lanes cost real time.  Each staged row's
+            # live segment [ms, me) is cyclically rolled so it lands at the
+            # packed write cursor and accumulated into the dense pk buffer;
+            # out-of-segment lanes are simply never written, which also
+            # retires the per-row gm lane mask the eval used to pay.  Only
+            # FULL 128-lane rows reach the eval loop (plus one partial at
+            # group drain).
+            def pack_row(r, _):
+                if do_dma and not interpret_gather:
+                    @pl.when(rowmeta[r, 0] == 1)
                     def _():
-                        if do_dma and not interpret_gather:
-                            @pl.when(rowmeta[r, 0] == 1)
-                            def _():
-                                # wait the body-window DMA for this row (descriptor
-                                # shape matches; offsets irrelevant for the wait)
-                                pltpu.make_async_copy(
-                                    ps_ref.at[:, pl.ds(0, 128)],
-                                    src.at[r],
-                                    sems.at[r],
-                                ).wait()
-                        if not do_eval:
-                            return
-                        ms, me = rowmeta[r, 1], rowmeta[r, 2]
-                        sxr = src[r, 0:1, :]
-                        syr = src[r, 1:2, :]
-                        szr = src[r, 2:3, :]
-                        sgr = jnp.where(
-                            (lanes >= ms) & (lanes < me), src[r, 3:4, :], 0.0
-                        )
-                        dx = sxr - xi  # (B, 128)
-                        dy = syr - yi
-                        dz = szr - zi
-                        r2 = dx * dx + dy * dy + dz * dz + eps2
-                        inv = lax.rsqrt(r2)
-                        w = sgr * (inv * inv * inv)
-                        # accumulate in (B, 128) and reduce ONCE at kernel
-                        # end: per-row cross-lane reductions were the
-                        # round-1 eval cost.  (Round 3 probed 256-sublane
-                        # occupancy chunking with tail skip: neutral at
-                        # ~85% group fill, the extra per-row guards eat
-                        # the saved beats.)
-                        ax[...] += w * dx
-                        ay[...] += w * dy
-                        az[...] += w * dz
+                        # wait the body-window DMA for this row (descriptor
+                        # shape matches; offsets irrelevant for the wait)
+                        pltpu.make_async_copy(
+                            ps_ref.at[:, pl.ds(0, 128)],
+                            src.at[r],
+                            sems.at[r],
+                        ).wait()
+                ms, me = rowmeta[r, 1], rowmeta[r, 2]
+                ln = me - ms
+                plane = st[PKL]
+                prow = st[PKR]
+                end = plane + ln
+                rolled = pltpu.roll(src[r], (plane - ms) & 127, axis=1)
+                pk[prow] = jnp.where(
+                    (lanes >= plane) & (lanes < end), rolled, pk[prow]
+                )
 
-                    return 0
+                @pl.when(end >= 128)
+                def _():
+                    nx = prow + 1
 
-                lax.fori_loop(0, rb, brow, 0)
+                    @pl.when(nx == rb)
+                    def _():
+                        eval_pk(rb)
+
+                    p2 = jnp.where(nx == rb, 0, nx)
+                    st[PKR] = p2
+
+                    @pl.when(end > 128)
+                    def _():
+                        # cyclic roll wraps the tail lanes to the row start
+                        pk[p2] = jnp.where(lanes < end - 128, rolled, pk[p2])
+
+                st[PKL] = end & 127
+                return 0
+
+            def burst():
+                lax.fori_loop(0, st[ROWS], pack_row, 0)
                 st[ROWS] = 0
+
+            def drain_pk():
+                plane = st[PKL]
+                prow = st[PKR]
+
+                @pl.when(plane > 0)
+                def _():
+                    # neutralize the partial row's unwritten tail lanes
+                    # (stale scratch can hold NaNs — see ztail)
+                    live = lanes < plane
+                    big = jnp.full((1, 128), 1e20, jnp.float32)
+                    pk[prow, 0:1, :] = jnp.where(live, pk[prow, 0:1, :], big)
+                    pk[prow, 1:2, :] = jnp.where(live, pk[prow, 1:2, :], big)
+                    pk[prow, 2:3, :] = jnp.where(live, pk[prow, 2:3, :], big)
+                    pk[prow, 3:4, :] = jnp.where(
+                        live, pk[prow, 3:4, :], jnp.zeros((1, 128), jnp.float32)
+                    )
+
+                eval_pk(prow + jnp.where(plane > 0, 1, 0))
+                st[PKR] = 0
+                st[PKL] = 0
 
             # ---- row allocation (bursts when the buffer is full) ----------------
             def alloc_row():
@@ -283,7 +370,10 @@ def _fused_kernel(
                     cp.wait()
                 rowmeta[row, 0] = 0
                 rowmeta[row, 1] = 0
-                rowmeta[row, 2] = 128
+                # the drain-time partial COM row packs only its written
+                # slots; staging-time flushes always carry a full 128
+                # (st[NSRC] is a multiple of 128 there)
+                rowmeta[row, 2] = ((st[NSRC] - 1) & 127) + 1
                 srcacc[3:4, :] = jnp.zeros((1, 128), jnp.float32)
 
             # ---- near-range plumbing ---------------------------------------------
@@ -488,6 +578,10 @@ def _fused_kernel(
                         near8 = exists & ~far8 & ((ct8 <= leaf_cap) | terminal)
                         open8 = exists & ~far8 & ~near8
 
+                        # occupancy receipt: ACTUAL far children staged (the
+                        # staging machinery ships whole 8-slots with gm = 0
+                        # fillers; S_SRC - S_FAR is the filler volume)
+                        st[AFAR] = st[AFAR] + jnp.sum(far8.astype(jnp.int32))
                         gcx[...] = cx8
                         gcy[...] = cy8
                         gcz[...] = cz8
@@ -618,6 +712,7 @@ def _fused_kernel(
                     flush_com_row()
 
                 burst()
+                drain_pk()
 
             axs = jnp.sum(ax[...], axis=1, keepdims=True)
             ays = jnp.sum(ay[...], axis=1, keepdims=True)
@@ -632,6 +727,8 @@ def _fused_kernel(
                 + jnp.where(lanes == S_SRC, st[TSRC], 0)
                 + jnp.where(lanes == S_NEAR, st[NNEAR], 0)
                 + jnp.where(lanes == S_OVF, st[OVF], 0)
+                + jnp.where(lanes == S_ROWS, st[TROWS], 0)
+                + jnp.where(lanes == S_FAR, st[AFAR], 0)
             )
 
 
@@ -659,7 +756,9 @@ def fused_group_forces(
     for hardware cost bisection (tools/profile_fused_stages.py) — the
     returned accelerations are then meaningless."""
     n_groups, _, b = pg.shape
-    rb = burst_rows
+    # the eval loop consumes EVAL_CHAINS rows per iteration (ztail pads up
+    # to the multiple), so the row buffer must be sized accordingly
+    rb = -(-int(burst_rows) // EVAL_CHAINS) * EVAL_CHAINS
     fcap = -(-int(frontier_cap) // 128) * 128
     fch = fcap // 128
     # groups per program: the per-program pipeline overhead is ~150 us on
@@ -717,6 +816,7 @@ def fused_group_forces(
             pltpu.VMEM((4, 128), jnp.float32),
             pltpu.VMEM((1, 128), jnp.int32),
             pltpu.VMEM((1, 128), jnp.int32),
+            pltpu.VMEM((rb, 4, 128), jnp.float32),
             pltpu.VMEM((rb, 4, 128), jnp.float32),
             pltpu.VMEM((b, 128), jnp.float32),
             pltpu.VMEM((b, 128), jnp.float32),
@@ -913,6 +1013,11 @@ def barneshut_fused(
             "near_bodies": jnp.sum(stats[:, S_NEAR].astype(jnp.float32)),
             "frontier_overflow": jnp.max(stats[:, S_OVF]),
             "trimmed_groups": trimmed,
+            # occupancy receipts (round 4): eval volume = rows * 128 lanes;
+            # actual sources = far_children + near_bodies; the difference
+            # is gm = 0 filler (8-slot far padding + window edges)
+            "eval_rows": jnp.sum(stats[:, S_ROWS].astype(jnp.float32)),
+            "far_children": jnp.sum(stats[:, S_FAR].astype(jnp.float32)),
         }
     return acc
 
