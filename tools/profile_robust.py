@@ -25,16 +25,21 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np  # noqa: E402
 
 
-def make_fixture(n: int, seed: int = 0):
-    """Plummer sphere + escapers (matches tests/test_bh_robust.py)."""
+def make_fixture(n: int, seed: int = 0, shell: bool = False):
+    """Plummer sphere + escapers (matches tests/test_bh_robust.py).
+    `shell` switches to the round-3 shell-like variant (r uniform in
+    [0.4, 2.8], 100 escapers) whose ld tradeoff INVERTS the core one."""
     rng = np.random.default_rng(seed)
-    # Plummer: r = a / sqrt(u^{-2/3} - 1)
-    u = rng.uniform(0.05, 0.95, n)
-    r = 1.0 / np.sqrt(u ** (-2.0 / 3.0) - 1.0)
+    if shell:
+        r = rng.uniform(0.4, 2.8, n)
+    else:
+        # Plummer: r = a / sqrt(u^{-2/3} - 1)
+        u = rng.uniform(0.05, 0.95, n)
+        r = 1.0 / np.sqrt(u ** (-2.0 / 3.0) - 1.0)
     d = rng.normal(size=(n, 3))
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     pos = r[:, None] * d
-    n_out = max(4, n // 10000)
+    n_out = 100 if shell else max(4, n // 10000)
     pos[:n_out] *= 1000.0
     vel = rng.uniform(-0.1, 0.1, (n, 3))
     mass = rng.uniform(0.5, 1.5, n)
@@ -53,12 +58,33 @@ def main() -> None:
 
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     naive = "--naive" in sys.argv
+    shell = "--shell" in sys.argv
+    ld_kw = {}
+    if "--ld" in sys.argv:
+        ld_kw["ld"] = int(sys.argv[sys.argv.index("--ld") + 1])
     n = int(args[0]) if args else 1_000_000
     interpret = jax.default_backend() == "cpu"
     if interpret:
         n = min(n, 2000)
 
-    pos_np, vel_np, mass_np, n_out = make_fixture(n)
+    pos_np, vel_np, mass_np, n_out = make_fixture(n, shell=shell)
+
+    if "--auto" in sys.argv:
+        # data-adaptive depth (ops/bh_autold.py): report the pick +
+        # per-depth pricing, then run with it
+        import time as _t
+
+        from nbody_tpu.ops.bh_autold import choose_ld
+
+        t0 = _t.time()
+        pick, _ = choose_ld(
+            pos_np, mass_np, robust=True,
+            persistent="--persistent-only" not in sys.argv,
+            verbose=True,
+        )
+        print(f"choose_ld pick: {pick} ({_t.time() - t0:.1f}s probe)",
+              flush=True)
+        ld_kw["ld"] = pick
     pos = jnp.asarray(pos_np, jnp.float32)
     vel = jnp.asarray(vel_np, jnp.float32)
     mass = jnp.asarray(mass_np, jnp.float32)
@@ -70,7 +96,7 @@ def main() -> None:
 
     fn = jax.jit(functools.partial(
         barneshut_fused_robust, G=1.0, softening_sq=1e-2, theta=0.5,
-        interpret=interpret,
+        interpret=interpret, **ld_kw,
     ))
     acc = fn(pos, mass)
     np.asarray(acc[:1])
@@ -89,7 +115,7 @@ def main() -> None:
             pos, vel, mass, steps, 1e-4, G=1.0, softening_sq=1e-2,
             theta=0.5, resort_every=5, group_size=1024,
             interpret=interpret, robust_slots=robust_slots,
-            max_drift_frac=0.0,
+            max_drift_frac=0.0, **ld_kw,
         )
         np.asarray(p[:1])
         return (time.perf_counter() - t0) / steps, p, v
