@@ -105,8 +105,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="adaptive time stepping: dt = sqrt(2 eta eps / |a|_max) per "
         "step, clipped to the positional delta_time as dt_max "
         "(integrate/adaptive.py; beyond the reference's fixed dt).  "
-        "Needs --softening2 > 0 for the eps scale.  Unsharded leapfrog "
-        "runs only",
+        "Needs --softening2 > 0 for the eps scale.  Leapfrog only; "
+        "composes with --resort-every (persistent layout, dt a traced "
+        "scan carry) and --shard --resort-every (sharded persistent, "
+        "dt from one pmax'd |a|_max scalar)",
     )
     p.add_argument(
         "--merge-radius",
@@ -624,6 +626,38 @@ def main(argv=None) -> int:
     else:
         args.bh_robust = args.bh_robust == "on"
 
+    # Data-adaptive grid depth (round 4): robust mode's old fixed default
+    # (auto_ld + 2, max 8) was data-dependent in the worst way — 3.7x
+    # better on a core-dense Plummer, 28% WORSE on a shell-like one
+    # (docs/PERFORMANCE.md robust tables).  Price the candidate depths
+    # from the Morton occupancy histogram with the kernel's measured unit
+    # costs and pick the argmin (ops/bh_autold.py).  --bh-ld still
+    # overrides.
+    if (
+        args.bh_robust
+        and algo_will_be_bh
+        and not getattr(args, "bh_ld", 0)
+        and bodies.n > 32768
+    ):
+        from nbody_tpu.ops.bh_autold import choose_ld
+
+        ld_pick, _ = choose_ld(
+            arr[:, 0:3],
+            arr[:, 6],
+            robust=True,
+            theta=args.theta,
+            leaf_cap=getattr(args, "bh_leaf_cap", 0) or 64,
+            group_size=getattr(args, "bh_group_size", 0) or 1024,
+            persistent=args.resort_every > 0,
+        )
+        args.bh_ld = ld_pick
+        print(
+            f"note: data-adaptive grid depth picked --bh-ld {ld_pick} "
+            "(measured-cost pricing of the Morton occupancy histogram; "
+            "override with --bh-ld)",
+            file=sys.stderr,
+        )
+
     if getattr(args, "mesh_shape", ""):
         import jax as _jx_m
 
@@ -904,8 +938,21 @@ def main(argv=None) -> int:
                 simulate_persistent_sharded,
             )
 
+            if args.adaptive_eta > 0 and args.block_tiers > 1:
+                raise SystemExit(
+                    "--adaptive-eta and --block-tiers both adjust dt; "
+                    "pick one"
+                )
+            adaptive_kw = {}
+            if args.adaptive_eta > 0:
+                # round-4 composition: adaptive global dt on the SHARDED
+                # persistent layout (dt from one pmax'd |a|_max scalar)
+                adaptive_kw = dict(
+                    adaptive_eta=args.adaptive_eta,
+                    t_start=t0, t_end=args.end_time,
+                )
             try:
-                p_out, v_out = simulate_persistent_sharded(
+                out = simulate_persistent_sharded(
                     bodies, n_steps, dt,
                     n_real=n_real,
                     G=args.G, softening_sq=args.softening2,
@@ -916,6 +963,7 @@ def main(argv=None) -> int:
                     checkpoint_fn=checkpoint_fn,
                     progress_every=args.progress,
                     progress_fn=progress_fn,
+                    **adaptive_kw,
                     **{k: v for k, v in _shard_fused_kwargs(args).items()
                        if k in ("group_size", "leaf_cap", "bucket_frac",
                                 "robust_slots", "ld", "halo_cap")},
@@ -923,6 +971,52 @@ def main(argv=None) -> int:
             except CapacityError as e:
                 print(f"error: {e}", file=sys.stderr)
                 return 3
+            if args.adaptive_eta > 0:
+                p_out, v_out, taken = out
+                print(f"Adaptive steps taken: {taken}")
+            else:
+                p_out, v_out = out
+            bodies = _Bodies(
+                p_out.astype(bodies.pos.dtype),
+                v_out.astype(bodies.vel.dtype),
+                bodies.mass,
+            )
+        elif persistent and args.adaptive_eta > 0:
+            # round-4 composition (VERDICT r3 item 6): adaptive global dt
+            # on the persistent layout — dt is a traced scan carry, the
+            # drift guard bounds chunks with dt_max
+            import jax as _jax
+
+            from nbody_tpu.core.types import Bodies as _Bodies
+            from nbody_tpu.ops.bh_persistent import (
+                simulate_persistent_adaptive,
+            )
+
+            if args.block_tiers > 1:
+                raise SystemExit(
+                    "--adaptive-eta and --block-tiers both adjust dt; "
+                    "pick one"
+                )
+            bh_kw = _bh_kwargs(args)
+            p_out, v_out, taken = simulate_persistent_adaptive(
+                bodies.pos, bodies.vel, bodies.mass, t0, args.end_time,
+                G=args.G, softening_sq=args.softening2, theta=args.theta,
+                eta=args.adaptive_eta, dt_max=dt,
+                resort_every=args.resort_every,
+                interpret=_jax.default_backend() == "cpu",
+                frame_writer=writer,
+                checkpoint_every=args.checkpoint_every,
+                checkpoint_fn=checkpoint_fn,
+                progress_every=args.progress,
+                progress_fn=progress_fn,
+                robust_slots=(
+                    max(128, bodies.n // 512) if args.bh_robust else 0
+                ),
+                ld=args.bh_ld,
+                **{k: v for k, v in bh_kw.items()
+                   if k in ("group_size", "leaf_cap")},
+            )
+            print(f"Adaptive steps taken: {taken}")
             bodies = _Bodies(
                 p_out.astype(bodies.pos.dtype),
                 v_out.astype(bodies.vel.dtype),

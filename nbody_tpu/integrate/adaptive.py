@@ -77,13 +77,17 @@ def adaptive_steps(
         pos, vel, acc, t = carry
         dt = jnp.sqrt(two_eta_eps / jnp.maximum(_amax(acc), 1e-30))
         dt = jnp.clip(dt, dt_min, dt_max)
-        dt = jnp.minimum(dt, jnp.maximum(t_end - t, 0.0))  # exact landing
+        rem = jnp.maximum(t_end - t, 0.0)
+        dt = jnp.minimum(dt, rem)
         half = dt * 0.5
         vel = vel + acc * half
         pos = pos + vel * dt
         acc = force_fn(pos, mass)
         vel = vel + acc * half
-        t = t + dt
+        # exact landing: SNAP t to t_end when the step consumes the
+        # remainder — near arrival f32 rounding can make t + dt == t
+        # with dt > 0, spinning the host driver on ghost steps forever
+        t = jnp.where(dt >= rem, t_end, t + dt)
         out = (t, dt, pos if with_history else None)
         return (pos, vel, acc, t), out
 
@@ -129,9 +133,23 @@ def simulate_adaptive(
         frame_writer(np.asarray(bodies.pos)[None])
 
     t = jnp.asarray(t_start, bodies.pos.dtype)
+    # compare at the CARRY's resolution: the scan snaps t to the f32
+    # image of t_end on arrival, and f32(t_end) < t_end (f64) would
+    # otherwise re-enter the loop forever on dt = 0 no-op chunks
+    t_end_cmp = float(jnp.asarray(t_end, bodies.pos.dtype))
     acc = None
     taken = 0
-    while float(t) < t_end and taken < max_steps:
+    t_prev = float("-inf")
+    while float(t) < t_end_cmp and taken < max_steps:
+        # stagnation guard: the in-scan landing snap handles normal
+        # arrival; this catches dt_max so small that t + dt rounds to t
+        if float(t) <= t_prev:
+            raise RuntimeError(
+                f"adaptive dt stagnated at t = {float(t):g} (< t_end = "
+                f"{t_end:g}): dt_max {dt_max:g} is below the f32 time "
+                "resolution at this t — raise dt_max or rescale time"
+            )
+        t_prev = float(t)
         if frame_writer is not None:
             bodies, acc, t, (ts, dts), hist = adaptive_steps(
                 bodies, chunk_steps, t, t_end, force_fn,

@@ -1252,6 +1252,59 @@ def persistent_shard_fns(
             )
         return _smap(steps_local, (state_specs, P()), state_specs)
 
+    def make_adaptive_steps(k_steps: int, with_history: bool = False):
+        """Adaptive global dt on the sharded persistent layout (VERDICT
+        r3 item 6): dt = sqrt(2 eta eps / |a|_max) with |a|_max the
+        pmax-reduced global maximum over real slots — every chip computes
+        the identical traced dt, so the lockstep KDK stays consistent
+        with zero extra collectives beyond the one pmax scalar.  Same
+        exact-landing / dt = 0 no-op contract as
+        ops/bh_persistent.kdk_adaptive_steps."""
+
+        def steps_local(st, t, t_end, two_eta_eps, dt_min, dt_max):
+            def step(carry, _):
+                s, t = carry
+                valid = s["orig"] < n_real  # pads: orig >= n_real / = n
+                a2 = jnp.sum(s["acc"] * s["acc"], axis=1)
+                amax = lax.pmax(
+                    jnp.sqrt(jnp.max(jnp.where(valid, a2, 0.0))), axis_name
+                )
+                dt = jnp.clip(
+                    jnp.sqrt(two_eta_eps / jnp.maximum(amax, 1e-30)),
+                    dt_min, dt_max,
+                )
+                rem = jnp.maximum(t_end - t, 0.0)
+                dt = jnp.minimum(dt, rem)
+                half = dt * 0.5
+                vel = s["vel"] + s["acc"] * half
+                pg = s["pg"].at[:, :3, :].add(vel * dt)
+                s = {**s, "pg": pg, "vel": vel}
+                acc = local_force(s)
+                s = {**s, "vel": s["vel"] + acc * half, "acc": acc}
+                # snap to t_end on the landing step: near arrival f32
+                # rounding can make t + dt == t with dt > 0 (host driver
+                # would spin on ghost steps — round-4 hang)
+                t = jnp.where(dt >= rem, t_end, t + dt)
+                out = (t, dt, s["pg"][:, :3, :] if with_history else None)
+                return (s, t), out
+
+            (st, t), (ts, dts, hist) = lax.scan(
+                step, (st, jnp.asarray(t, jnp.float32)), None,
+                length=k_steps,
+            )
+            if with_history:
+                return st, t, ts, dts, hist
+            return st, t, ts, dts
+
+        in_specs = (state_specs, P(), P(), P(), P(), P())
+        if with_history:
+            return _smap(
+                steps_local, in_specs,
+                (state_specs, P(), P(), P(),
+                 P(None, axis_name, None, None)),
+            )
+        return _smap(steps_local, in_specs, (state_specs, P(), P(), P()))
+
     def emit_local(st):
         pos_all = lax.all_gather(
             jnp.transpose(st["pg"][:, :3, :], (0, 2, 1)).reshape(M_l, 3),
@@ -1282,6 +1335,7 @@ def persistent_shard_fns(
     make_steps.M_l = M_l
     make_steps.use_halo = use_halo
     make_steps.halo_pad_frac = halo_pad_frac
+    make_steps.adaptive = make_adaptive_steps
     return init_fn, resort_fn, prime_fn, make_steps, emit_fn
 
 
@@ -1299,6 +1353,10 @@ def simulate_persistent_sharded(
     checkpoint_fn=None,
     progress_every: int = 0,
     progress_fn=None,
+    adaptive_eta: float = 0.0,
+    t_start: float = 0.0,
+    t_end: float = 0.0,
+    dt_min: float = 0.0,
     **kw,
 ):
     """Sharded persistent-order run: (sharded Bodies, steps, dt) ->
@@ -1409,11 +1467,105 @@ def simulate_persistent_sharded(
         p_c, v_c = emit_fn(st)
         checkpoint_fn(Bodies(p_c, v_c, bodies.mass), step)
 
+    def check_halo_nan(state, done):
+        if make_steps.use_halo and not np.isfinite(
+            float(jnp.max(jnp.abs(state["acc"])))
+        ):
+            pad_f = make_steps.halo_pad_frac
+            raise CapacityError(
+                "sharded persistent Barnes-Hut: forces were NaN-poisoned "
+                "in-graph at step %d — either the halo premise was "
+                "violated (a body moved more than halo_pad_frac/2 = %.3g "
+                "terminal cells since the last resort; raise "
+                "--halo-pad-frac, lower --resort-every, or reduce dt) or "
+                "the traversal stack overflowed" % (done, 0.5 * pad_f)
+            )
+
     state = init_fn(bodies.pos, bodies.vel, bodies.mass)
     check(state)
     state = prime_fn(state)
     if frame_writer is not None:
         frame_writer(np.asarray(bodies.pos, np.float32)[None])
+
+    if adaptive_eta > 0:
+        # adaptive global dt (VERDICT r3 item 6): dt is the caller's
+        # dt_max; the chunked resort/rebalance/guard machinery is shared
+        # with the fixed-dt loop below, but chunks walk TIME to t_end
+        sof = kw.get("softening_sq", constants.SOFTENING_SQ)
+        if sof <= 0:
+            raise ValueError(
+                "adaptive dt needs softening_sq > 0 (the eps scale)"
+            )
+        if dt <= 0:
+            raise ValueError("dt (= dt_max) must be > 0")
+        two_eta_eps = 2.0 * adaptive_eta * math.sqrt(sof)
+        t_cur = float(t_start)
+        # f32-carry resolution (see bh_persistent driver)
+        t_end_cmp = float(np.float32(t_end))
+        taken = 0
+        t_prev = float("-inf")
+        steps_cache = {}
+        while t_cur < t_end_cmp and taken < 10_000_000:
+            # stagnation guard (see integrate/adaptive.simulate_adaptive)
+            if t_cur <= t_prev:
+                raise RuntimeError(
+                    f"adaptive dt stagnated at t = {t_cur:g} (< t_end = "
+                    f"{t_end:g}): dt_max {dt:g} is below the f32 time "
+                    "resolution at this t — raise dt_max or rescale time"
+                )
+            t_prev = t_cur
+            k = resort_every
+            guarded = False
+            if max_drift_frac > 0 and k > 1:
+                # dt_max bounds every adaptive step, so it bounds drift
+                v_max = float(jnp.max(jnp.abs(state["vel"])))
+                cell = float(state["border"]) / (1 << ld)
+                if v_max * dt * k > max_drift_frac * cell:
+                    k = 1
+                    guarded = True
+            key = (k, frame_writer is not None)
+            if key not in steps_cache:
+                steps_cache[key] = make_steps.adaptive(
+                    k, with_history=key[1]
+                )
+            if frame_writer is not None:
+                state, t_dev, ts, dts, hist = steps_cache[key](
+                    state, t_cur, t_end, two_eta_eps, dt_min, dt
+                )
+                real = np.asarray(dts) > 0
+                if real.any():
+                    flush_frames(state, np.asarray(hist)[real])
+            else:
+                state, t_dev, ts, dts = steps_cache[key](
+                    state, t_cur, t_end, two_eta_eps, dt_min, dt
+                )
+                real = np.asarray(dts) > 0
+            t_cur = float(t_dev)
+            taken += int(real.sum())
+            check_halo_nan(state, taken)
+            if (
+                checkpoint_every > 0
+                and checkpoint_fn is not None
+                and taken > 0
+                and (taken % checkpoint_every) < k
+            ):
+                do_checkpoint(state, taken)
+            if progress_every > 0 and progress_fn is not None and (
+                taken % progress_every
+            ) < k:
+                np.asarray(state["border"])  # fence (real wall time)
+                progress_fn(
+                    taken,
+                    "drift-guard: per-step resorts" if guarded else "",
+                )
+            if t_cur < t_end:
+                prev = state
+                state = resort_fn(state)
+                if stale(state):
+                    state = rebalance(prev)
+        p_out, v_out = emit_fn(state)
+        return p_out, v_out, taken
+
     done = 0
     steps_cache = {}
     while done < n_steps:
@@ -1440,20 +1592,9 @@ def simulate_persistent_sharded(
         else:
             state = steps_cache[key](state, dt)
         done += t
-        if make_steps.use_halo and not np.isfinite(
-            float(jnp.max(jnp.abs(state["acc"])))
-        ):
-            # the in-graph backstops NaN-poison rather than compute wrong
-            # forces; translate to the prescriptive host error
-            pad_f = make_steps.halo_pad_frac
-            raise CapacityError(
-                "sharded persistent Barnes-Hut: forces were NaN-poisoned "
-                "in-graph at step %d — either the halo premise was "
-                "violated (a body moved more than halo_pad_frac/2 = %.3g "
-                "terminal cells since the last resort; raise "
-                "--halo-pad-frac, lower --resort-every, or reduce dt) or "
-                "the traversal stack overflowed" % (done, 0.5 * pad_f)
-            )
+        # the in-graph backstops NaN-poison rather than compute wrong
+        # forces; translate to the prescriptive host error
+        check_halo_nan(state, done)
         if (
             checkpoint_every > 0
             and checkpoint_fn is not None

@@ -6,6 +6,7 @@ executes pop-by-pop in interpret mode).
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tests.oracle import accel_exhaustive_f64
 
@@ -18,6 +19,8 @@ from nbody_tpu.ops.bh_persistent import (
     resort,
     simulate_persistent,
 )
+
+pytestmark = pytest.mark.heavy  # interpret-mode kernels: quick tier skips
 
 EPS2 = 0.01
 G = 1.0
@@ -154,3 +157,64 @@ def test_drift_guard_forces_per_step_resort():
         interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
+def test_adaptive_persistent_matches_unsharded_adaptive():
+    """simulate_persistent_adaptive vs integrate/adaptive.simulate_adaptive
+    over the same fused force: same dt criterion, same landing, close
+    trajectories (layout + resort relabeling are exact, so the only
+    divergence is f32 op-order noise)."""
+    from functools import partial
+
+    from nbody_tpu.core.types import Bodies
+    from nbody_tpu.integrate.adaptive import simulate_adaptive
+    from nbody_tpu.ops.bh_fused import barneshut_fused
+    from nbody_tpu.ops.bh_persistent import simulate_persistent_adaptive
+
+    # COST NOTE: every chunk of either driver re-traces the
+    # interpret-mode fused kernel (minutes per compile on the 1-core
+    # host) — keep each side to ONE 3-step chunk
+    n = 400
+    pos, vel, mass = _cloud(n, seed=5)
+    dt_max = 5e-3
+    t_end = 1.2e-2
+    eta = 0.05
+
+    fkw = _fkw(n)
+    force = partial(
+        barneshut_fused, G=G, softening_sq=EPS2, theta=0.5,
+        ld=fkw["ld"], group_size=128, interpret=True,
+    )
+    want, taken_ref = simulate_adaptive(
+        Bodies(pos, vel, mass), 0.0, t_end, force,
+        eta=eta, softening_sq=EPS2, dt_max=dt_max, chunk_steps=3,
+    )
+    p_got, v_got, taken = simulate_persistent_adaptive(
+        pos, vel, mass, 0.0, t_end,
+        G=G, softening_sq=EPS2, theta=0.5, eta=eta, dt_max=dt_max,
+        group_size=128, resort_every=3, interpret=True,
+    )
+    assert taken == taken_ref, (taken, taken_ref)
+    scale = np.abs(np.asarray(want.pos)).max()
+    assert np.abs(np.asarray(p_got) - np.asarray(want.pos)).max() < 1e-4 * scale
+    assert np.abs(np.asarray(v_got) - np.asarray(want.vel)).max() < 2e-3
+
+
+def test_adaptive_persistent_exact_landing_and_frames():
+    """The run lands exactly on t_end; frames carry only real steps."""
+    from nbody_tpu.ops.bh_persistent import simulate_persistent_adaptive
+
+    n = 300
+    pos, vel, mass = _cloud(n, seed=6)
+    frames = []
+    p_got, v_got, taken = simulate_persistent_adaptive(
+        pos, vel, mass, 0.0, 1e-2,
+        G=G, softening_sq=EPS2, theta=0.5, eta=0.5, dt_max=4e-3,
+        group_size=128, resort_every=4, interpret=True,
+        frame_writer=lambda a: frames.append(np.array(a)),
+    )
+    total_rows = sum(f.shape[0] for f in frames)
+    assert total_rows == taken + 1  # initial frame + one per real step
+    # dt_max = 4e-3 with a generous eta: exactly ceil(1e-2/4e-3) = 3 steps
+    assert taken == 3
+    np.testing.assert_allclose(frames[-1][-1], np.asarray(p_got), atol=1e-6)

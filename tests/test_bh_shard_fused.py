@@ -19,6 +19,8 @@ from nbody_tpu.parallel.bh_shard import check_sharded_fused, fused_shard_force_f
 from nbody_tpu.parallel.mesh import make_mesh
 from nbody_tpu.parallel.sharding import shard_bodies
 
+pytestmark = pytest.mark.heavy  # interpret-mode kernels: quick tier skips
+
 EPS2 = 0.01
 G = 1.0
 
@@ -382,3 +384,35 @@ def test_sharded_persistent_halo_source_drift_poisons(mesh):
             halo=True, halo_cap=4096, halo_pad_frac=0.5,
             G=G, softening_sq=EPS2, theta=0.5, group_size=128,
         )
+
+
+def test_sharded_persistent_adaptive_matches_unsharded(mesh):
+    """Adaptive global dt on the sharded persistent layout: the pmax'd
+    |a|_max gives every chip the identical traced dt, so the run must
+    take the same step SEQUENCE as the unsharded persistent adaptive
+    path and land on the same trajectory (f32 op-order noise only)."""
+    from nbody_tpu.core.types import Bodies
+    from nbody_tpu.ops.bh_persistent import simulate_persistent_adaptive
+    from nbody_tpu.parallel.bh_shard import simulate_persistent_sharded
+
+    n = 512
+    pos, vel, mass = _cloud(n, seed=23)
+    t_end = 6e-3
+    eta, dt_max = 0.05, 2e-3
+
+    p_u, v_u, taken_u = simulate_persistent_adaptive(
+        pos, vel, mass, 0.0, t_end,
+        G=G, softening_sq=EPS2, theta=0.5, eta=eta, dt_max=dt_max,
+        group_size=128, resort_every=2, interpret=True,
+    )
+    bodies = shard_bodies(Bodies(pos, vel, mass), mesh=mesh)
+    p_s, v_s, taken_s = simulate_persistent_sharded(
+        bodies, 0, dt_max, mesh=mesh, resort_every=2,
+        G=G, softening_sq=EPS2, theta=0.5, group_size=128,
+        adaptive_eta=eta, t_start=0.0, t_end=t_end,
+    )
+    assert taken_s == taken_u, (taken_s, taken_u)
+    dp = np.abs(np.asarray(p_s)[:n] - np.asarray(p_u)).max()
+    assert dp < 5e-5, dp
+    dv = np.abs(np.asarray(v_s)[:n] - np.asarray(v_u)).max()
+    assert np.isfinite(dv) and dv < 2e-3
