@@ -40,11 +40,20 @@ def pytest_configure(config):
         "slow: multi-minute configs (1M-body envelope); skipped unless a "
         "-m marker expression opts in (e.g. -m slow)",
     )
+    config.addinivalue_line(
+        "markers",
+        "heavy: interpret-mode Pallas kernel + fuzz tests that dominate "
+        "the suite wall time on the 1-core host; -m 'not heavy' gives a "
+        "quick (<10 min) signal, the bare suite runs everything",
+    )
 
 
 def pytest_collection_modifyitems(config, items):
-    if config.getoption("-m"):
-        return  # explicit marker expression: let pytest handle selection
+    expr = config.getoption("-m") or ""
+    if "slow" in expr:
+        return  # explicit slow opt-in: let pytest handle selection
+    # skip slow even under other -m expressions (e.g. "not heavy" must
+    # not accidentally opt into the multi-minute 1M envelope)
     skip = pytest.mark.skip(reason="slow: opt in with -m slow")
     for item in items:
         if "slow" in item.keywords:

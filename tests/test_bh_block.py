@@ -19,6 +19,8 @@ from nbody_tpu.diag.energy import energy_drift, get_energy
 from nbody_tpu.ops import bh_persistent as bp
 from nbody_tpu.utils.fixtures import plummer_cloud
 
+pytestmark = pytest.mark.heavy  # interpret-mode kernels: quick tier skips
+
 EPS2 = 1e-4
 N = 1024
 GS = 128

@@ -13,6 +13,8 @@ import pytest
 
 from nbody_tpu.ops.barneshut import barneshut_accelerations
 
+pytestmark = pytest.mark.heavy  # interpret-mode kernels: quick tier skips
+
 
 def two_cluster_cloud(n, seed=0, sep=3.0, width=0.05):
     rng = np.random.default_rng(seed)

@@ -13,6 +13,8 @@ import pytest
 
 from nbody_tpu.ops.bh_fused import auto_ld, barneshut_fused
 
+pytestmark = pytest.mark.heavy  # interpret-mode kernels: quick tier skips
+
 EPS2 = 0.01
 G = 1.0
 

@@ -14,6 +14,8 @@ import pytest
 from tests.oracle import accel_exhaustive
 from nbody_tpu.ops.bh_fused import barneshut_fused, barneshut_fused_robust
 
+pytestmark = pytest.mark.heavy  # interpret-mode kernels: quick tier skips
+
 
 def _cloud_with_outliers(n=700, n_out=6, seed=0, r_out=300.0):
     rng = np.random.default_rng(seed)

@@ -17,6 +17,8 @@ from nbody_tpu.core.types import Bodies
 from nbody_tpu.ops.collisions import merge_pass
 from nbody_tpu.ops.exhaustive import exhaustive_accelerations
 
+pytestmark = pytest.mark.heavy  # fuzz sweep: quick tier skips
+
 
 @pytest.mark.parametrize("seed", range(6))
 def test_merge_pass_invariants(seed):

@@ -17,6 +17,8 @@ from tests.oracle import accel_exhaustive
 from nbody_tpu.ops.barneshut import barneshut_accelerations
 from nbody_tpu.ops.bh_fused import barneshut_fused
 
+pytestmark = pytest.mark.heavy  # fuzz sweep: quick tier skips
+
 CONFIGS = [
     # (n, shape, theta, group_size, seed)
     (257, "uniform", 0.5, 128, 0),

@@ -9,6 +9,8 @@ from nbody_tpu.ops.pallas_exhaustive import (
     pallas_rect_accelerations,
 )
 
+pytestmark = pytest.mark.heavy  # interpret-mode kernels: quick tier skips
+
 
 @pytest.mark.parametrize("n", [100, 1000])
 def test_pallas_matches_direct(n):

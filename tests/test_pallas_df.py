@@ -16,6 +16,8 @@ from nbody_tpu.ops.pallas_df import (
     pallas_rect_accelerations_df,
 )
 
+pytestmark = pytest.mark.heavy  # interpret-mode kernels: quick tier skips
+
 EPS2 = 0.01
 G = 1.0
 
