@@ -141,6 +141,90 @@ def test_drift_series_record():
     assert second <= 3.0 * max(first, 1e-6), (first, second)
 
 
+DRIFT_RECORD_1M = os.path.join(REPO, "bench", "drift_series_1m.json")
+
+
+def test_drift_series_record_1m():
+    """Same curve contract for the benchmark-scale (1M-body) drift
+    record (tools/drift_series.py 1000000; fp64-grade df PE so the
+    measurement noise sits far below the 1e-3 budget)."""
+    if not os.path.exists(DRIFT_RECORD_1M):
+        pytest.skip("no recorded 1M drift series yet")
+    with open(DRIFT_RECORD_1M) as f:
+        lines = [json.loads(x) for x in f if x.strip()]
+    head, samples = lines[0], lines[1:]
+    assert head["config"]["n"] >= 1_000_000
+    assert head["config"]["algo"] == "barnes-hut"
+    assert len(samples) >= 8
+    drifts = np.array([s["drift"] for s in samples])
+    assert np.isfinite(drifts).all()
+    assert drifts.max() < 1e-3, drifts.max()
+    half = len(drifts) // 2
+    first, second = drifts[:half].max(), drifts[half:].max()
+    assert second <= 3.0 * max(first, 1e-6), (first, second)
+
+
+SCALE_RECORD = os.path.join(REPO, "bench", "bench_scale.json")
+
+
+def _load_scale():
+    if not os.path.exists(SCALE_RECORD):
+        pytest.skip("no recorded scale rows yet")
+    with open(SCALE_RECORD) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def test_scale_record_well_formed():
+    """The beyond-reference scale rows (10M fused/persistent), recorded
+    by `tools/bench_bh.py N [--persistent] --record` (VERDICT r3 item 5:
+    receipts in gated JSON, not PERFORMANCE.md prose)."""
+    recs = _load_scale()
+    assert recs
+    modes = {(r["n"], r["mode"]) for r in recs}
+    assert (10_000_000, "fused") in modes
+    assert (10_000_000, "persistent") in modes
+    for r in recs:
+        assert r["mode"] in ("fused", "persistent")
+        assert r["unit"] == "s/step" and r["value"] > 0
+        if r["n"] == 10_000_000:
+            # linear-in-N sanity from the gated 1M grid rows: 10M must
+            # run within 3x of 10 x the 1M fused record (superlinear
+            # blowup = a capacity/occupancy regression)
+            with open(RECORD) as f:
+                one_m = [
+                    json.loads(x) for x in f
+                    if x.strip() and '"n": 1000000' in x
+                    and "barnes-hut" in x
+                ]
+            if one_m:
+                assert r["value"] < 30 * one_m[0]["value"]
+
+
+@pytest.mark.slow
+def test_scale_envelope_on_tpu_10m():
+    """Re-time the 10M persistent row on the real chip (multi-minute:
+    opt in with -m slow)."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("perf envelope is only meaningful on the real chip")
+    recs = [r for r in _load_scale()
+            if r["n"] == 10_000_000 and r["mode"] == "persistent"]
+    if not recs:
+        pytest.skip("no 10M persistent row yet")
+    import subprocess
+    import sys as _sys
+
+    out = subprocess.run(
+        [_sys.executable, os.path.join(REPO, "tools", "bench_bh.py"),
+         "10000000", "--persistent"],
+        capture_output=True, text=True, timeout=3600,
+    )
+    line = [x for x in out.stdout.splitlines() if x.startswith("{")][-1]
+    sec = json.loads(line)["value"]
+    assert sec < recs[0]["value"] * ENVELOPE, (sec, recs[0]["value"])
+
+
 DF_RECORD = os.path.join(REPO, "bench", "df_record.json")
 
 

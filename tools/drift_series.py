@@ -44,7 +44,14 @@ def main() -> None:
 
     on_tpu = jax.default_backend() not in ("cpu",)
     n = 10_000 if on_tpu else 2_000
+    pos_args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if pos_args:
+        n = int(pos_args[0])
     total, stride = (500, 25) if on_tpu else (200, 25)
+    if n >= 1_000_000:
+        # benchmark-scale drift record (VERDICT r3 item 5): fewer steps,
+        # same curve-shape contract; ~0.35 s/step + a Pallas PE per sample
+        total, stride = (200, 20)
     # Plummer equilibrium with t_dyn = sqrt(a^3 / GM) = 1: 500 steps of
     # dt = 1e-3 integrate half a dynamical time of a self-bound cluster —
     # a real stationarity test, unlike a cold cloud (which collapses and
@@ -67,11 +74,25 @@ def main() -> None:
         vel=jnp.asarray(arr[:, 3:6], jnp.float32),
         mass=jnp.asarray(arr[:, 6], jnp.float32),
     )
-    ke0, pe0 = get_energy(bodies.pos, bodies.vel, bodies.mass, G=1.0)
+    if n >= 1_000_000 and on_tpu:
+        # f32 PE accumulation error at 1M (~1e-4 relative) would swamp
+        # the drift signal; the compensated-f32x2 kernel is fp64-grade
+        from nbody_tpu.ops.pallas_df import pallas_potential_energy_df
+
+        def measure_energy(b):
+            ke = 0.5 * float(jnp.sum(b.mass * jnp.sum(b.vel**2, axis=-1)))
+            pe = float(pallas_potential_energy_df(b.pos, b.mass, G=1.0))
+            return ke, pe
+    else:
+        def measure_energy(b):
+            ke, pe = get_energy(b.pos, b.vel, b.mass, G=1.0)
+            return float(ke), float(pe)
+
+    ke0, pe0 = measure_energy(bodies)
     e0 = float(ke0 + pe0)
 
-    out = os.path.join(os.path.dirname(__file__), "..", "bench",
-                       "drift_series.json")
+    name = "drift_series.json" if n < 1_000_000 else "drift_series_1m.json"
+    out = os.path.join(os.path.dirname(__file__), "..", "bench", name)
     lines = [json.dumps({
         "config": {"n": n, "steps": total, "stride": stride, "dt": dt,
                    "theta": theta, "algo": "barnes-hut",
@@ -84,7 +105,7 @@ def main() -> None:
     cur = bodies
     for k in range(stride, total + 1, stride):
         cur, acc = leapfrog_steps(cur, stride, dt, force, acc0=acc)
-        ke, pe = get_energy(cur.pos, cur.vel, cur.mass, G=1.0)
+        ke, pe = measure_energy(cur)
         d = energy_drift(float(ke + pe), e0)
         rec = {"step": k, "drift": d, "ke": float(ke), "pe": float(pe)}
         print(json.dumps(rec), flush=True)
