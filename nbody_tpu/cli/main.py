@@ -99,6 +99,15 @@ def build_parser() -> argparse.ArgumentParser:
         "per group (with --block-tiers)",
     )
     p.add_argument(
+        "--block-masked",
+        action="store_true",
+        help="with --block-tiers: evaluate every sub-step over the full "
+        "group grid with inactive groups' counts masked to zero (the "
+        "pre-round-4 kdk_block_steps) instead of the tier-prefix "
+        "subgrids; mainly for A/B timing — masked sub-steps pay a "
+        "pipeline slot per inactive group",
+    )
+    p.add_argument(
         "--adaptive-eta",
         type=float,
         default=0.0,
@@ -1041,6 +1050,7 @@ def main(argv=None) -> int:
                 progress_fn=progress_fn,
                 block_tiers=max(1, args.block_tiers),
                 block_eta=args.block_eta,
+                block_prefix=not args.block_masked,
                 robust_slots=(
                     max(128, bodies.n // 512) if args.bh_robust else 0
                 ),

@@ -683,6 +683,180 @@ def kdk_block_steps(
     return state
 
 
+# ---------------------------------------------------------------------------
+# Per-tier grid prefixes (round 4, VERDICT r3 item 7).
+#
+# kdk_block_steps evaluates EVERY sub-step over the full group grid with
+# inactive groups' gcount masked to 0 — the kernel skips their traversal,
+# but each still pays its block-pipeline slot: measured 1086 ms/macro vs
+# the 822 ms active-fraction prediction on the stratified 1M fixture (a
+# 32% floor, docs/PERFORMANCE.md).  The fused kernel is self-contained
+# per target group (its AABB comes from its own body block and traversal
+# starts at the root — group index never addresses a cell), so the
+# target-group axis slices freely.  Sort groups by tier DESCENDING and
+# the set closing at any sub-step is a PREFIX: sub-step s+1 with 2-adic
+# valuation v closes exactly the tiers >= n_tiers-1-v, i.e. the first
+# sizes[v] groups of the order.  Each distinct prefix size is its own
+# static pallas grid (at most n_tiers distinct kernel shapes; sizes are
+# quantized so retier histogram jitter does not recompile).
+# ---------------------------------------------------------------------------
+
+
+def _val2(x: int) -> int:
+    """2-adic valuation of x > 0 (trailing zero bits)."""
+    return (x & -x).bit_length() - 1
+
+
+def tier_order_sizes(tiers, n_tiers: int, quant: int = 64):
+    """Host-side prefix plan for kdk_block_prefix_steps.
+
+    Returns (order, sizes): `order` is the (G,) i32 group permutation in
+    descending-tier order (stable), so the groups closing at any
+    sub-step form a prefix of it; `sizes[v]` (one per 2-adic valuation
+    of the sub-step index) is the count of groups with
+    tier >= n_tiers-1-v rounded UP to `quant` and capped at G, so the
+    tuple — a static jit argument — changes (recompiles) only when the
+    tier histogram moves by a whole quantum.  Prefix slots beyond the
+    true closing count are evaluated and scatter-dropped (bounded
+    waste); sizes[n_tiers-1] is exactly G (the macro-boundary full
+    eval takes the ungathered fast path)."""
+    import numpy as np
+
+    t = np.asarray(tiers)
+    g = t.shape[0]
+    order = np.argsort(-t, kind="stable").astype(np.int32)
+    counts = np.bincount(t, minlength=n_tiers)
+    suffix = np.cumsum(counts[::-1])  # suffix[v] = #groups with tier >= T-1-v
+    sizes = tuple(
+        g if v == n_tiers - 1
+        else int(min(g, -(-int(suffix[v]) // quant) * quant))
+        for v in range(n_tiers)
+    )
+    return jnp.asarray(order), sizes
+
+
+def subset_state_forces(
+    state: GroupState,
+    idx,
+    *,
+    theta: float,
+    softening_sq: float,
+    leaf_cap: int,
+    ld: int,
+    burst_rows: int = 16,
+    interpret: bool = False,
+):
+    """(P, 3, B) planar accelerations for the target groups `idx` only.
+
+    Sources stay FULL-layout (the float-table rebuild and the planar ps
+    see every body); only the target side gathers to the (P, 4, B)
+    subset — a contiguous-row gather, bandwidth-priced.  The robust
+    sideband's rectangle likewise shrinks to the subset's targets (its
+    outlier sources still gather from the full layout)."""
+    g, _, b = state.pg.shape
+    ft = _ft_from_state(state.pg, state.nid, ld)
+    ps = jnp.transpose(state.pg, (1, 0, 2)).reshape(4, g * b)
+    pg_s = state.pg[idx]
+    acc_s, _stats = fused_group_forces(
+        state.gcount[idx], pg_s, ft, state.it, ps, state.bsq,
+        aux_octet_offsets(),
+        theta=theta, eps2=softening_sq, leaf_cap=leaf_cap, ld=ld,
+        burst_rows=burst_rows, interpret=interpret,
+    )
+    if state.out_gm is not None:
+        from nbody_tpu.ops.bh_fused import outlier_rect
+
+        p = idx.shape[0]
+        full = jnp.transpose(state.pg[:, :3, :], (0, 2, 1)).reshape(g * b, 3)
+        targets = jnp.transpose(pg_s[:, :3, :], (0, 2, 1)).reshape(p * b, 3)
+        side = outlier_rect(
+            targets, full[state.out_slots], state.out_gm, softening_sq,
+            interpret,
+        )
+        acc_s = acc_s + jnp.transpose(
+            side.reshape(p, b, 3), (0, 2, 1)
+        ).astype(acc_s.dtype)
+    return acc_s
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_macro", "n_tiers", "sizes", "theta", "softening_sq", "leaf_cap",
+        "ld", "burst_rows", "interpret", "with_history",
+    ),
+)
+def kdk_block_prefix_steps(
+    state: GroupState,
+    tiers,
+    order,
+    n_macro: int,
+    dt,
+    *,
+    sizes: tuple,
+    n_tiers: int,
+    theta: float,
+    softening_sq: float,
+    leaf_cap: int,
+    ld: int,
+    burst_rows: int = 16,
+    interpret: bool = False,
+    with_history: bool = False,
+):
+    """kdk_block_steps with per-tier grid prefixes: identical physics
+    (same synchronized block-KDK schedule, same forces), but sub-step s
+    evaluates ONLY the prefix order[:sizes[v]] (v = val2(s+1)) instead
+    of masking the full grid — inactive groups stop paying their
+    pipeline slots.  The macro body statically unrolls the
+    2^(n_tiers-1) sub-steps; the final one closes every tier and takes
+    the ungathered full-grid path.  (order, sizes) come from
+    tier_order_sizes; quantization extras in a prefix are evaluated and
+    scatter-dropped, never kicked (their acc must stay at their own
+    last closing boundary for KDK correctness)."""
+    s_per = 1 << (n_tiers - 1)
+    h = jnp.asarray(dt, jnp.float32) / s_per
+    big_l = (s_per >> tiers).astype(jnp.int32)  # (G,) sub-steps per own step
+    half_own = big_l.astype(jnp.float32)[:, None, None] * (h * 0.5)
+    g = state.pg.shape[0]
+
+    force_kw = dict(
+        theta=theta, softening_sq=softening_sq, leaf_cap=leaf_cap, ld=ld,
+        burst_rows=burst_rows, interpret=interpret,
+    )
+
+    def macro(carry, _):
+        st = carry
+        for s in range(s_per):
+            opening = (s % big_l == 0)[:, None, None]
+            vel = st.vel + st.acc * jnp.where(opening, half_own, 0.0)
+            pg = st.pg.at[:, :3, :].add(vel * h)
+            st = st._replace(pg=pg, vel=vel)
+
+            if s == s_per - 1:
+                # macro boundary: every tier closes — full grid, no gather
+                acc = state_forces(st, **force_kw)
+                st = st._replace(vel=st.vel + acc * half_own, acc=acc)
+            else:
+                v = min(_val2(s + 1), n_tiers - 1)
+                idx = order[: sizes[v]]
+                acc_new = subset_state_forces(st, idx, **force_kw)
+                closing = (s + 1) % big_l == 0  # (G,)
+                # scatter-drop: prefix slots past the true closing count
+                # (quantization waste) park at index G and vanish
+                dst = jnp.where(closing[idx], idx, g)
+                acc = st.acc.at[dst].set(acc_new, mode="drop")
+                cl3 = closing[:, None, None]
+                st = st._replace(
+                    vel=st.vel + acc * jnp.where(cl3, half_own, 0.0), acc=acc
+                )
+        return st, (st.pg[:, :3, :] if with_history else None)
+
+    state, hist = lax.scan(macro, state, None, length=n_macro)
+    if with_history:
+        return state, hist
+    return state
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def emit(state: GroupState, n: int):
     """(pos, vel) back in the original body order (for output frames)."""
@@ -729,6 +903,7 @@ def simulate_persistent(
     progress_fn=None,
     block_tiers: int = 1,
     block_eta: float = 0.025,
+    block_prefix: bool = True,
     robust_slots: int = 0,
     ld: int = 0,
 ):
@@ -774,11 +949,14 @@ def simulate_persistent(
     if block and softening_sq <= 0:
         raise ValueError("block tiers need softening_sq > 0 (the eps scale)")
     tiers = None
+    order = sizes = None
     if block:
         tiers = assign_tiers(
             state, dt, eta=block_eta, eps=math.sqrt(softening_sq),
             n_tiers=block_tiers,
         )
+        if block_prefix:
+            order, sizes = tier_order_sizes(tiers, block_tiers)
     if frame_writer is not None:
         frame_writer(np.asarray(pos, np.float32)[None])
 
@@ -808,7 +986,19 @@ def simulate_persistent(
             next_prog = ((done // progress_every) + 1) * progress_every
             t = min(t, next_prog - done)
         if block:
-            if frame_writer is not None:
+            if block_prefix:
+                if frame_writer is not None:
+                    state, hist = kdk_block_prefix_steps(
+                        state, tiers, order, t, dt, sizes=sizes,
+                        n_tiers=block_tiers, with_history=True, **fkw
+                    )
+                    flush_frames(state, hist)
+                else:
+                    state = kdk_block_prefix_steps(
+                        state, tiers, order, t, dt, sizes=sizes,
+                        n_tiers=block_tiers, **fkw
+                    )
+            elif frame_writer is not None:
                 state, hist = kdk_block_steps(
                     state, tiers, t, dt, n_tiers=block_tiers,
                     with_history=True, **fkw
@@ -851,6 +1041,8 @@ def simulate_persistent(
                     state, dt, eta=block_eta, eps=math.sqrt(softening_sq),
                     n_tiers=block_tiers,
                 )
+                if block_prefix:
+                    order, sizes = tier_order_sizes(tiers, block_tiers)
     p_out, v_out = emit(state, n)
     np.asarray(p_out[:1])  # device fence (see integrate/leapfrog.simulate)
     return p_out, v_out

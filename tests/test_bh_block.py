@@ -155,6 +155,82 @@ def test_simulate_persistent_block_mode():
     assert abs(energy_drift(float(ke1 + pe1), float(ke0 + pe0))) < 1e-2
 
 
+def test_tier_order_sizes_plan():
+    """The prefix plan: descending-tier stable order, suffix-count sizes
+    quantized up, final size exactly G."""
+    tiers = jnp.asarray([0, 2, 1, 2, 0, 1, 1, 0], jnp.int32)
+    order, sizes = bp.tier_order_sizes(tiers, 3, quant=2)
+    o = np.asarray(order)
+    t = np.asarray(tiers)[o]
+    assert (np.diff(t) <= 0).all()  # descending tiers
+    # stable within a tier (original index order preserved)
+    for k in (0, 1, 2):
+        idx = o[t == k]
+        assert (np.diff(idx) > 0).all()
+    # true suffix counts: tier>=2 -> 2, tier>=1 -> 5, all -> 8
+    assert sizes == (2, 6, 8)  # 5 rounds up to 6; last is exactly G
+    _, s1 = bp.tier_order_sizes(tiers, 3, quant=1)
+    assert s1 == (2, 5, 8)
+
+
+def _mixed_tiers(st, n_tiers):
+    """A deliberately mixed hand assignment covering every tier."""
+    g = st.pg.shape[0]
+    return jnp.asarray(np.arange(g) % n_tiers, jnp.int32)
+
+
+def test_prefix_matches_masked():
+    """kdk_block_prefix_steps is the same physics as kdk_block_steps:
+    identical forces at identical times, so the states agree to float
+    tolerance — including with quantization extras in the prefix
+    (evaluated, scatter-dropped, never kicked)."""
+    st, fkw, _ = _state()
+    dt = 1e-3
+    K = 3
+    tiers = _mixed_tiers(st, K)
+    ref = bp.kdk_block_steps(st, tiers, 2, dt, n_tiers=K, **fkw)
+    for quant in (1, 4):  # exact sizes, then forced extras
+        order, sizes = bp.tier_order_sizes(tiers, K, quant=quant)
+        got = bp.kdk_block_prefix_steps(
+            st, tiers, order, 2, dt, sizes=sizes, n_tiers=K, **fkw
+        )
+        dp = np.abs(np.asarray(got.pg[:, :3, :]) - np.asarray(ref.pg[:, :3, :]))
+        dv = np.abs(np.asarray(got.vel) - np.asarray(ref.vel))
+        da = np.abs(np.asarray(got.acc) - np.asarray(ref.acc))
+        assert dp.max() < 1e-6, (quant, dp.max())
+        assert dv.max() < 1e-5, (quant, dv.max())
+        assert da.max() < 1e-4, (quant, da.max())
+
+
+def test_prefix_matches_masked_robust():
+    """Prefix block stepping composes with the outlier-robust layout:
+    the sideband rectangle shrinks to the prefix's targets and still
+    matches the masked full-grid run."""
+    arr = plummer_cloud(N, seed=11, total_mass=1.0, G=1.0)
+    arr[:4, 0:3] *= 40.0  # manufacture outliers
+    pos = jnp.asarray(arr[:, 0:3], jnp.float32)
+    vel = jnp.asarray(arr[:, 3:6], jnp.float32)
+    mass = jnp.asarray(arr[:, 6], jnp.float32)
+    _, ld, _, _ = bp._layout(N, GS)
+    fkw = dict(theta=0.5, softening_sq=EPS2, leaf_cap=64, ld=ld,
+               interpret=True)
+    st = bp.init_state(pos, vel, mass, G=1.0, group_size=GS,
+                       robust_slots=128)
+    assert st.out_gm is not None
+    st = bp.prime(st, **fkw)
+    K = 2
+    tiers = _mixed_tiers(st, K)
+    ref = bp.kdk_block_steps(st, tiers, 2, 1e-3, n_tiers=K, **fkw)
+    order, sizes = bp.tier_order_sizes(tiers, K, quant=1)
+    got = bp.kdk_block_prefix_steps(
+        st, tiers, order, 2, 1e-3, sizes=sizes, n_tiers=K, **fkw
+    )
+    dp = np.abs(np.asarray(got.pg[:, :3, :]) - np.asarray(ref.pg[:, :3, :]))
+    dv = np.abs(np.asarray(got.vel) - np.asarray(ref.vel))
+    assert dp.max() < 1e-6, dp.max()
+    assert dv.max() < 1e-5, dv.max()
+
+
 def test_cli_block_tiers(tmp_path):
     import subprocess
     import sys as _sys

@@ -40,7 +40,7 @@ def main() -> None:
     from nbody_tpu.diag.energy import energy_drift, get_energy
     from nbody_tpu.integrate.leapfrog import leapfrog_steps
     from nbody_tpu.ops.barneshut import barneshut_accelerations
-    from nbody_tpu.ops.bh_fused import barneshut_fused
+    from nbody_tpu.ops.bh_fused import barneshut_fused, barneshut_fused_robust
 
     on_tpu = jax.default_backend() not in ("cpu",)
     n = 10_000 if on_tpu else 2_000
@@ -59,12 +59,22 @@ def main() -> None:
     dt = 1e-3
     theta = 0.5
     eps2 = 1e-4  # eps = a/100, well under the central interparticle gap
-    force = (
-        (lambda p, m: barneshut_fused(p, m, theta=theta, softening_sq=eps2))
-        if on_tpu
-        else (lambda p, m: barneshut_accelerations(
+    if on_tpu and n >= 1_000_000:
+        # the Plummer fixture's radial tail inflates the fixed-depth
+        # grid's root cube (docs/PERFORMANCE.md clustered-input
+        # characterization): the plain fused eval ships ~100x the
+        # uniform cloud's near volume (~3.3 s/step — a 20-step sample
+        # dispatch then trips the tunneled chip's ~90 s execution
+        # watchdog).  The outlier-robust EXACT hybrid is what the CLI
+        # auto-engages for this input class; same physics, ~8x faster.
+        force = (lambda p, m: barneshut_fused_robust(
             p, m, theta=theta, softening_sq=eps2))
-    )
+    elif on_tpu:
+        force = (lambda p, m: barneshut_fused(
+            p, m, theta=theta, softening_sq=eps2))
+    else:
+        force = (lambda p, m: barneshut_accelerations(
+            p, m, theta=theta, softening_sq=eps2))
 
     from nbody_tpu.utils.fixtures import plummer_cloud
 
@@ -96,6 +106,7 @@ def main() -> None:
     lines = [json.dumps({
         "config": {"n": n, "steps": total, "stride": stride, "dt": dt,
                    "theta": theta, "algo": "barnes-hut",
+                   "robust": bool(on_tpu and n >= 1_000_000),
                    "integrator": "leapfrog",
                    "backend": jax.default_backend()},
         "e0": e0, "ke0": float(ke0), "pe0": float(pe0),

@@ -112,9 +112,15 @@ def main() -> None:
     # uniform fine: dispatch per macro step, not one long scan
     bench(f"plain kdk at dt/{s_per} (uniform fine)",
           lambda: bp.kdk_steps(st, s_per, dt / s_per, **fkw), calls=macro)
-    bench(f"block tiers (K={n_tiers})",
+    bench(f"block tiers (K={n_tiers}, masked)",
           lambda: bp.kdk_block_steps(st, tiers, 1, dt,
                                      n_tiers=n_tiers, **fkw), calls=macro)
+    order, sizes = bp.tier_order_sizes(tiers, n_tiers)
+    print(f"prefix sizes per sub-step valuation: {sizes}")
+    bench(f"block tiers (K={n_tiers}, prefix)",
+          lambda: bp.kdk_block_prefix_steps(st, tiers, order, 1, dt,
+                                            sizes=sizes, n_tiers=n_tiers,
+                                            **fkw), calls=macro)
 
 
 if __name__ == "__main__":
