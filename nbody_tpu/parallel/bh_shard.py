@@ -100,6 +100,7 @@ def fused_shard_force_fn(
     frontier_cap: int = 0,
     robust_slots: int = 0,
     ld: int = 0,
+    groups_per_program: int = 8,
     interpret: bool | None = None,
     return_stats: bool = False,
 ):
@@ -370,6 +371,7 @@ def fused_shard_force_fn(
             theta=theta, eps2=softening_sq, leaf_cap=leaf_cap, ld=ld,
             burst_rows=burst_rows, interpret=interpret,
             frontier_cap=frontier_cap or FRONTIER_CAP,
+            groups_per_program=groups_per_program,
         )
 
         # Capacity contract: a mid-run bucket overflow (bodies drifted
@@ -561,6 +563,7 @@ def persistent_shard_fns(
     halo: bool | None = None,
     halo_cap: int = 0,
     halo_pad_frac: float = 0.5,
+    groups_per_program: int = 8,
     interpret: bool | None = None,
 ):
     """Build (init_fn, resort_fn, prime_fn, steps_fn, emit_fn) for the
@@ -1132,7 +1135,7 @@ def persistent_shard_fns(
             st["gcount"], st["pg"], ft, st["it"], ps, st["bsq"],
             aux_octet_offsets(),
             theta=theta, eps2=softening_sq, leaf_cap=leaf_cap, ld=ld,
-            interpret=interpret,
+            interpret=interpret, groups_per_program=groups_per_program,
         )
         if robust:
             # outlier sources at their CURRENT positions: gather each

@@ -31,7 +31,9 @@ def test_record_well_formed():
     recs = _load_record()
     assert recs, "record exists but is empty"
     for r in recs:
-        assert r["algo"] in ("exhaustive", "barnes-hut")
+        assert r["algo"] in (
+            "exhaustive", "barnes-hut", "barnes-hut-persistent",
+        )
         assert r["n"] >= 1000 and r["value"] > 0 and r["unit"] == "s/step"
         if r["vs_baseline"] is not None:
             # the point of the framework: never slower than the reference,
@@ -223,6 +225,34 @@ def test_scale_envelope_on_tpu_10m():
     line = [x for x in out.stdout.splitlines() if x.startswith("{")][-1]
     sec = json.loads(line)["value"]
     assert sec < recs[0]["value"] * ENVELOPE, (sec, recs[0]["value"])
+
+
+DRYRUN_RECORD = os.path.join(REPO, "bench", "dryrun_budget.json")
+
+
+def test_dryrun_budget_record():
+    """The multi-chip dryrun is the only driver-visible multi-chip receipt
+    and it timed out in round 4 (MULTICHIP_r04 rc=124).  Gate the measured
+    budget record: the recorded cold time must clear the self-check budget
+    with >= 2x headroom, and the budget constant in __graft_entry__ must
+    match the record (a future round that regrows the dryrun must
+    re-measure, not just re-type the number)."""
+    if not os.path.exists(DRYRUN_RECORD):
+        pytest.skip("no dryrun budget record yet")
+    with open(DRYRUN_RECORD) as f:
+        r = json.load(f)
+    assert r["warm_s"] <= r["cold_s"]
+    assert r["cold_s"] * 2.0 <= r["budget_s"], (
+        "cold dryrun no longer has 2x headroom under its self-check budget"
+    )
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_graft_entry_probe", os.path.join(REPO, "__graft_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.DRYRUN_BUDGET_S == r["budget_s"]
 
 
 DF_RECORD = os.path.join(REPO, "bench", "df_record.json")

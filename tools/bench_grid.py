@@ -39,6 +39,9 @@ REF_BEST = {
     ("barnes-hut", 10_000): 1.703 / 100,        # bh_mp (:26)
     ("barnes-hut", 100_000): 3.127 / 10,        # bh_mp (:27)
     ("barnes-hut", 1_000_000): 58.764 / 10,     # bh_cuda (:37)
+    # the persistent Morton-order layout is OUR fastest 1M BH mode; the
+    # reference's best 1M number is the same bh_cuda row
+    ("barnes-hut-persistent", 1_000_000): 58.764 / 10,
 }
 
 
@@ -83,6 +86,33 @@ def bench_config(algo: str, n: int, reps: int = 3, steps: int = 0):
         mass=jnp.asarray(rng.uniform(0.04, 1.0, n), jnp.float32),
     )
 
+    if algo == "barnes-hut-persistent":
+        # persistent Morton-order layout (ops/bh_persistent.py): state
+        # lives in the kernel's group layout, timed over a resort-free
+        # chunk exactly like tools/bench_bh.py --persistent
+        from nbody_tpu.ops.bh_persistent import (
+            _layout, init_state, kdk_steps, prime,
+        )
+
+        _, ld, _, _ = _layout(n, 1024)
+        fkw = dict(theta=0.5, softening_sq=0.01, leaf_cap=64, ld=ld,
+                   interpret=not on_tpu)
+        st = prime(init_state(bodies.pos, bodies.vel, bodies.mass,
+                              group_size=1024), **fkw)
+        k = max(steps, 3)
+
+        def prun(st=st):
+            out = kdk_steps(st, k, 1e-4, **fkw)
+            np.asarray(out.acc[:1, :1])
+
+        prun()  # compile
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            prun()
+            best = min(best, time.perf_counter() - t0)
+        return best / k
+
     if algo == "exhaustive":
         if on_tpu and n >= 4096:
             from nbody_tpu.ops.pallas_exhaustive import pallas_accelerations as f
@@ -110,7 +140,10 @@ def bench_config(algo: str, n: int, reps: int = 3, steps: int = 0):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", type=int, nargs="*", default=None)
-    ap.add_argument("--algos", nargs="*", default=["exhaustive", "barnes-hut"])
+    ap.add_argument(
+        "--algos", nargs="*",
+        default=["exhaustive", "barnes-hut", "barnes-hut-persistent"],
+    )
     ap.add_argument("--out", default=None, help="also write JSON lines here")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
@@ -130,6 +163,8 @@ def main() -> None:
         for n in sizes:
             if algo == "exhaustive" and n > 200_000 and not on_tpu:
                 continue
+            if algo == "barnes-hut-persistent" and n < 1_000_000:
+                continue  # the persistent layout is the >= 1M mode
             sec = bench_config(algo, n, reps=args.reps)
             ref = REF_BEST.get((algo, n))
             rec = {
