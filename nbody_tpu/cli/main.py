@@ -467,16 +467,18 @@ def build_force_fn(args, n: int):
             if eps2_per_body is not None:
                 force = partial(force, eps2_per_body=eps2_per_body)
     else:
-        if args.dtype == "f64" and (backend == "pallas" or args.shard):
-            # the fused kernel computes f32 forces; never silent (VERDICT
-            # r3 weak #1) — theta-gating already bounds accuracy at ~1e-3
-            # relative, so this is a loud downgrade note, not an error
+        if args.dtype == "f64" and args.shard:
+            # the sharded fused pipeline computes f32 forces; never
+            # silent (VERDICT r3 weak #1) — theta-gating already bounds
+            # accuracy at ~1e-3 relative, so this is a loud downgrade
+            # note, not an error.  (Unsharded --dtype f64 barnes-hut
+            # routes to the df fused kernel below.)
             print(
-                "warning: --dtype f64 with the Barnes-Hut Pallas/sharded "
-                "pipeline integrates f64 state under f32-accurate forces "
-                "(the fused kernel is f32; theta-gating dominates the "
-                "error anyway).  For fp64-grade forces use "
-                "--algo exhaustive (pallas-df kernel) or --backend jnp.",
+                "warning: --dtype f64 with the SHARDED Barnes-Hut "
+                "pipeline integrates f64 state under f32-accurate "
+                "forces (theta-gating dominates the error anyway).  "
+                "For fp64-grade forces drop --shard (df fused kernel) "
+                "or use --algo exhaustive (pallas-df).",
                 file=sys.stderr,
             )
         traversal = getattr(args, "bh_traversal", "auto")
@@ -520,13 +522,33 @@ def build_force_fn(args, n: int):
                 **bh_kw,
             )
         elif traversal == "fused":
-            from nbody_tpu.ops.bh_fused import (
-                barneshut_fused,
-                barneshut_fused_robust,
-            )
-
             fused_kw = _fused_kwargs(args)
-            fn = barneshut_fused_robust if args.bh_robust else barneshut_fused
+            if args.dtype == "f64":
+                # fp64-grade Barnes-Hut: the df fused kernel
+                # (ops/bh_fused_df.py — the reference's double-
+                # throughout contract, serial/barnes-hut.c:363-443)
+                from nbody_tpu.ops.bh_fused_df import (
+                    barneshut_fused_df,
+                    barneshut_fused_robust_df,
+                )
+
+                fn = (
+                    barneshut_fused_robust_df
+                    if args.bh_robust
+                    else barneshut_fused_df
+                )
+                backend = "pallas-df"
+            else:
+                from nbody_tpu.ops.bh_fused import (
+                    barneshut_fused,
+                    barneshut_fused_robust,
+                )
+
+                fn = (
+                    barneshut_fused_robust
+                    if args.bh_robust
+                    else barneshut_fused
+                )
             force = partial(
                 fn,
                 G=args.G,
@@ -900,11 +922,22 @@ def main(argv=None) -> int:
         and algo == "barnes-hut"
         and "/fused" in backend
         and args.integrator == "leapfrog"
+        # the persistent Morton layout integrates f32 state in the
+        # kernel's group order; under --dtype f64 the one-shot df path
+        # keeps the fp64-grade contract instead of silently downgrading
+        and args.dtype != "f64"
     )
     if args.resort_every > 0 and not persistent:
         print(
             "warning: --resort-every requires the fused Barnes-Hut "
-            "path with the KDK integrator; ignoring",
+            "path with the KDK integrator"
+            + (
+                " (and f32 state: the persistent layout is f32 — "
+                "--dtype f64 runs the one-shot df kernel per step)"
+                if args.dtype == "f64"
+                else ""
+            )
+            + "; ignoring",
             file=sys.stderr,
         )
     if args.block_tiers > 1 and (not persistent or args.shard):

@@ -66,9 +66,20 @@ from nbody_tpu.core import constants
 from nbody_tpu.ops.bh_grid import build_grid, grid_offsets
 from nbody_tpu.ops.barneshut import compact_groups, group_bodies
 from nbody_tpu.ops.morton import morton_sort
+from nbody_tpu.ops.pallas_df import (
+    _df_add,
+    _df_lane_reduce,
+    _df_mul,
+    _df_rsqrt,
+    _df_sqr,
+)
 
 FRONTIER_CAP = 2048  # octets per level per group (runtime overflow-checked)
 EVAL_CHAINS = 4  # independent source rows evaluated per burst-loop iteration
+# The df eval chain is ~290 flops of mostly independent work per row —
+# it fills the VPU's ALUs on its own, and 4 chains of df temporaries
+# blow the scoped-VMEM budget; 2 keeps a little ILP for the combine tree.
+EVAL_CHAINS_DF = 2
 
 # stats lanes (per group)
 S_POPS, S_SRC, S_NEAR, S_OVF, S_ROWS, S_FAR = 0, 1, 2, 3, 4, 5
@@ -122,15 +133,19 @@ def _fused_kernel(
     bsq_ref,  # SMEM (16,) f32 — (border / 2^l)^2 per level
     ooff_ref,  # SMEM (16,) i32 — octet offsets per parent level
     ft_ref,  # VMEM (RF, 128) f32 — octet field table
+    ftl_ref,  # ANY — df mode: low-half octet field table (else 1-row dummy)
     it_ref,  # VMEM (RI, 128) i32 — octet start/count table
-    pg_ref,  # VMEM (1, 4, B) f32 — group bodies, planar rows [x; y; z; gm].
-    # Planar because XLA pads a pallas operand's minor dim to the 128-lane
-    # tile: a (G, B, 4) layout costs 32x its logical size in HBM (14 GB at
-    # 10M bodies).  (4, B) pads only 4 -> 8 sublanes; one in-kernel
-    # transpose (probed: supported) restores the (B, 4) working view.
-    ps_ref,  # ANY (4, NP) f32 — planar sorted sources [x; y; z; Gm]
+    pg_ref,  # VMEM (1, C, B) f32 — group bodies, planar rows [x; y; z; gm]
+    # (C = 4), or df coordinate pairs [xh; xl; yh; yl; zh; zl; 0; 0]
+    # (C = 8).  Planar because XLA pads a pallas operand's minor dim to
+    # the 128-lane tile: a (G, B, 4) layout costs 32x its logical size in
+    # HBM (14 GB at 10M bodies).  (C, B) pads only C -> 8 sublanes; one
+    # in-kernel transpose (probed: supported) restores the (B, C) view.
+    ps_ref,  # ANY (C, NP) f32 — planar sorted sources [x; y; z; Gm] (or
+    # the 8 df channels [xh; xl; yh; yl; zh; zl; gmh; gml])
     # outputs
-    acc_ref,  # VMEM (1, 4, B) f32 — planar [ax; ay; az; 0] (same reason)
+    acc_ref,  # VMEM (1, C, B) f32 — planar [ax; ay; az; 0] (df: hi rows
+    # 0..2, lo rows 4..6)
     stats_ref,  # VMEM (1, 1, 128) i32 block per program (lanes 0..4 = stats)
     # scratch
     st,  # SMEM (32,) i32 — kernel state; slots 16+d = frontier count lvl d
@@ -138,25 +153,34 @@ def _fused_kernel(
     bsm,  # SMEM (1, 128) i32 — bulk-scalarized classify bits
     rowmeta,  # SMEM (RB, 4) i32 — [is_dma, mask_start, mask_end, _]
     rsm,  # SMEM (2, 128) i32 — bulk-scalarized ranges
-    srcacc,  # VMEM (4, 128) f32 — COM staging accumulator
+    srcacc,  # VMEM (C, 128) f32 — COM staging accumulator
     rngs,  # VMEM (1, 128) i32 — near-range start staging
     rngc,  # VMEM (1, 128) i32 — near-range count staging
-    src,  # VMEM (RB, 4, 128) f32 — staged source rows
-    pk,  # VMEM (RB, 4, 128) f32 — lane-packed eval rows (pack_row)
+    src,  # VMEM (RB, C, 128) f32 — staged source rows
+    pk,  # VMEM (RB, C, 128) f32 — lane-packed eval rows (pack_row)
     ax,  # VMEM (B, 128) f32 lane-accumulators (reduced once at the end)
     ay,  # VMEM (B, 128) f32
     az,  # VMEM (B, 128) f32
+    axl,  # VMEM (B, 128) f32 — df low-half accumulators (else dummies)
+    ayl,  # VMEM (B, 128) f32
+    azl,  # VMEM (B, 128) f32
     gft,  # VMEM (128, 128) f32 — gathered ft rows for one frontier chunk
+    gftl,  # VMEM (128, 128) f32 — df: gathered ftl rows (else dummy)
     git,  # VMEM (128, 128) i32 — gathered it rows
     gcx,  # VMEM (128, 8) f32 — per-slot classify values for the stage loop
     gcy,  # VMEM (128, 8) f32
     gcz,  # VMEM (128, 8) f32
     gfgm,  # VMEM (128, 8) f32 — far-masked G*mass (0 for non-far children)
+    gcxl,  # VMEM (128, 8) f32 — df low halves of the staged COM values
+    gcyl,  # VMEM (128, 8) f32
+    gczl,  # VMEM (128, 8) f32
+    gfgml,  # VMEM (128, 8) f32
     gst,  # VMEM (128, 8) i32 — child body-range starts
     gnct,  # VMEM (128, 8) i32 — near-masked child body counts
     fidv,  # VMEM (1, 128) i32 — frontier ids (vector copy for q/e math)
     bvm,  # VMEM (1, 128) i32 — classify bits staging (DMA source)
     gsemf,  # DMA sems (128,) — chunk ft-row gathers
+    gsemf2,  # DMA sems (128,) — df ftl-row gathers
     gsemi,  # DMA sems (128,) — chunk it-row gathers
     sems,  # DMA sems (RB,)
     vsem,  # DMA sems (5,) — rng bulk x2, COM flush, bits, fids
@@ -168,6 +192,9 @@ def _fused_kernel(
     rb: int,
     fcap: int = FRONTIER_CAP,
     gpp: int = 8,
+    chains: int = EVAL_CHAINS,
+    df: bool = False,
+    eps2_lo: float = 0.0,
     interpret_gather: bool = False,
     debug_mode: str = "full",
 ):
@@ -207,13 +234,28 @@ def _fused_kernel(
             ax[...] = jnp.zeros_like(ax)
             ay[...] = jnp.zeros_like(ay)
             az[...] = jnp.zeros_like(az)
+            if df:
+                axl[...] = jnp.zeros_like(axl)
+                ayl[...] = jnp.zeros_like(ayl)
+                azl[...] = jnp.zeros_like(azl)
             # fresh scratch can hold NaN bit patterns; a NaN coordinate row would
             # poison the whole accumulation through 0 * NaN — zero it all
             srcacc[...] = jnp.zeros_like(srcacc)
             rngc[...] = jnp.zeros_like(rngc)
 
-            pgb = jnp.transpose(pg_ref[gg])  # (4, B) -> (B, 4)
-            xi, yi, zi = pgb[:, 0:1], pgb[:, 1:2], pgb[:, 2:3]
+            pgb = jnp.transpose(pg_ref[gg])  # (C, B) -> (B, C)
+            if df:
+                # pre-negated df i-coordinates: the eval chain computes
+                # dx = source + (-pos_i) with one _df_add
+                nxh, nxl = -pgb[:, 0:1], -pgb[:, 1:2]
+                nyh, nyl = -pgb[:, 2:3], -pgb[:, 3:4]
+                nzh, nzl = -pgb[:, 4:5], -pgb[:, 5:6]
+                # the MAC classifies against the f32 hi halves (the MAC is
+                # a decision rule, not force arithmetic; the twin oracle
+                # replicates the same f32 decision)
+                xi, yi, zi = pgb[:, 0:1], pgb[:, 2:3], pgb[:, 4:5]
+            else:
+                xi, yi, zi = pgb[:, 0:1], pgb[:, 1:2], pgb[:, 2:3]
 
             # ---- eval: branch-free chained loop over PACKED source rows ---------
             def chain(r):
@@ -229,22 +271,57 @@ def _fused_kernel(
                 w = sgr * (inv * inv * inv)
                 return w * dx, w * dy, w * dz
 
+            def chain_df(r):
+                # full compensated-f32x2 pair pipeline (ops/pallas_df.py
+                # primitives) against one packed (8, 128) source row
+                d_x = _df_add(pk[r, 0:1, :], pk[r, 1:2, :], nxh, nxl)
+                d_y = _df_add(pk[r, 2:3, :], pk[r, 3:4, :], nyh, nyl)
+                d_z = _df_add(pk[r, 4:5, :], pk[r, 5:6, :], nzh, nzl)
+                r2 = _df_sqr(*d_x)
+                r2 = _df_add(*r2, *_df_sqr(*d_y))
+                r2 = _df_add(*r2, *_df_sqr(*d_z))
+                r2 = _df_add(*r2, eps2, eps2_lo)
+                y = _df_rsqrt(*r2)
+                y3 = _df_mul(*_df_sqr(*y), *y)
+                w = _df_mul(pk[r, 6:7, :], pk[r, 7:8, :], *y3)
+                return _df_mul(*w, *d_x), _df_mul(*w, *d_y), _df_mul(*w, *d_z)
+
             def brow4(q, _):
-                # EVAL_CHAINS independent rows per iteration: one row's
+                # `chains` independent rows per iteration: one row's
                 # 17-op chain is serial, so a single-row loop can't fill
                 # the VPU's parallel ALUs (round-4 A/B: 175 -> 129 ms at
                 # 1M); independent chains give the scheduler ILP, and the
                 # tree-sum cuts the (B, 128) accumulator read-modify-
-                # writes by EVAL_CHAINS x.  (Full 16-row unroll measured
+                # writes by `chains` x.  (Full 16-row unroll measured
                 # 1.5x SLOWER in round 3 — it blew the scoped-VMEM stack
                 # and the schedule.)  Accumulate in (B, 128) and reduce
                 # ONCE at kernel end: per-row cross-lane reductions were
                 # the round-1 eval cost.
-                r0 = q * EVAL_CHAINS
-                xs, ys, zs = zip(*[chain(r0 + c) for c in range(EVAL_CHAINS)])
-                ax[...] += sum(xs[1:], xs[0])
-                ay[...] += sum(ys[1:], ys[0])
-                az[...] += sum(zs[1:], zs[0])
+                r0 = q * chains
+                if df:
+                    parts = [chain_df(r0 + c) for c in range(chains)]
+                    while len(parts) > 1:
+                        nxt = [
+                            tuple(
+                                _df_add(*a[k], *b[k]) for k in range(3)
+                            )
+                            for a, b in zip(parts[0::2], parts[1::2])
+                        ]
+                        if len(parts) % 2:
+                            nxt.append(parts[-1])
+                        parts = nxt
+                    fx, fy, fz = parts[0]
+                    h, lo = _df_add(ax[...], axl[...], *fx)
+                    ax[...], axl[...] = h, lo
+                    h, lo = _df_add(ay[...], ayl[...], *fy)
+                    ay[...], ayl[...] = h, lo
+                    h, lo = _df_add(az[...], azl[...], *fz)
+                    az[...], azl[...] = h, lo
+                else:
+                    xs, ys, zs = zip(*[chain(r0 + c) for c in range(chains)])
+                    ax[...] += sum(xs[1:], xs[0])
+                    ay[...] += sum(ys[1:], ys[0])
+                    az[...] += sum(zs[1:], zs[0])
                 return 0
 
             def ztail(r, _):
@@ -254,19 +331,31 @@ def _fused_kernel(
                 # 0 * inf = NaN path).  ALL coordinate rows must be
                 # written — fresh scratch can hold NaN bit patterns and
                 # one NaN coordinate poisons r2 through 0 * NaN.
-                big = jnp.full((1, 128), 1e20, jnp.float32)
-                pk[r, 0:1, :] = big
-                pk[r, 1:2, :] = big
-                pk[r, 2:3, :] = big
-                pk[r, 3:4, :] = jnp.zeros((1, 128), jnp.float32)
+                # df mode uses 1e16 instead: the Dekker split inside
+                # _df_sqr/_df_mul multiplies by 4097, so r2 must stay
+                # below ~8e34 to keep the split finite (1e16 -> r2 ~
+                # 3e32; forces still vanish through gm = 0 exactly).
+                zero = jnp.zeros((1, 128), jnp.float32)
+                if df:
+                    big = jnp.full((1, 128), 1e16, jnp.float32)
+                    for c in (0, 2, 4):
+                        pk[r, c : c + 1, :] = big
+                    for c in (1, 3, 5, 6, 7):
+                        pk[r, c : c + 1, :] = zero
+                else:
+                    big = jnp.full((1, 128), 1e20, jnp.float32)
+                    pk[r, 0:1, :] = big
+                    pk[r, 1:2, :] = big
+                    pk[r, 2:3, :] = big
+                    pk[r, 3:4, :] = zero
                 return 0
 
             def eval_pk(k):
                 """Evaluate the first k packed rows (k may be traced)."""
                 st[TROWS] = st[TROWS] + k
                 if do_eval:
-                    nq = (k + EVAL_CHAINS - 1) // EVAL_CHAINS
-                    lax.fori_loop(k, nq * EVAL_CHAINS, ztail, 0)
+                    nq = (k + chains - 1) // chains
+                    lax.fori_loop(k, nq * chains, ztail, 0)
                     lax.fori_loop(0, nq, brow4, 0)
 
             # ---- burst: lane-pack staged rows into dense eval rows ---------------
@@ -334,13 +423,31 @@ def _fused_kernel(
                     # neutralize the partial row's unwritten tail lanes
                     # (stale scratch can hold NaNs — see ztail)
                     live = lanes < plane
-                    big = jnp.full((1, 128), 1e20, jnp.float32)
-                    pk[prow, 0:1, :] = jnp.where(live, pk[prow, 0:1, :], big)
-                    pk[prow, 1:2, :] = jnp.where(live, pk[prow, 1:2, :], big)
-                    pk[prow, 2:3, :] = jnp.where(live, pk[prow, 2:3, :], big)
-                    pk[prow, 3:4, :] = jnp.where(
-                        live, pk[prow, 3:4, :], jnp.zeros((1, 128), jnp.float32)
-                    )
+                    zero = jnp.zeros((1, 128), jnp.float32)
+                    if df:
+                        big = jnp.full((1, 128), 1e16, jnp.float32)
+                        for c in (0, 2, 4):
+                            pk[prow, c : c + 1, :] = jnp.where(
+                                live, pk[prow, c : c + 1, :], big
+                            )
+                        for c in (1, 3, 5, 6, 7):
+                            pk[prow, c : c + 1, :] = jnp.where(
+                                live, pk[prow, c : c + 1, :], zero
+                            )
+                    else:
+                        big = jnp.full((1, 128), 1e20, jnp.float32)
+                        pk[prow, 0:1, :] = jnp.where(
+                            live, pk[prow, 0:1, :], big
+                        )
+                        pk[prow, 1:2, :] = jnp.where(
+                            live, pk[prow, 1:2, :], big
+                        )
+                        pk[prow, 2:3, :] = jnp.where(
+                            live, pk[prow, 2:3, :], big
+                        )
+                        pk[prow, 3:4, :] = jnp.where(
+                            live, pk[prow, 3:4, :], zero
+                        )
 
                 eval_pk(prow + jnp.where(plane > 0, 1, 0))
                 st[PKR] = 0
@@ -374,7 +481,12 @@ def _fused_kernel(
                 # slots; staging-time flushes always carry a full 128
                 # (st[NSRC] is a multiple of 128 there)
                 rowmeta[row, 2] = ((st[NSRC] - 1) & 127) + 1
-                srcacc[3:4, :] = jnp.zeros((1, 128), jnp.float32)
+                # zero the G*mass staging rows so partially-staged slots
+                # stay inert (stale coordinates are harmless at gm = 0)
+                if df:
+                    srcacc[6:8, :] = jnp.zeros((2, 128), jnp.float32)
+                else:
+                    srcacc[3:4, :] = jnp.zeros((1, 128), jnp.float32)
 
             # ---- near-range plumbing ---------------------------------------------
             def flush_pending():
@@ -509,6 +621,10 @@ def _fused_kernel(
                             def gath(i, _):
                                 ot = fr[base, i]
                                 gft[pl.ds(i, 1), :] = ft_ref[pl.ds(ot >> 2, 1), :]
+                                if df:
+                                    gftl[pl.ds(i, 1), :] = ftl_ref[
+                                        pl.ds(ot >> 2, 1), :
+                                    ]
                                 git[pl.ds(i, 1), :] = it_ref[pl.ds(ot >> 3, 1), :]
                                 return 0
 
@@ -519,6 +635,11 @@ def _fused_kernel(
                                 pltpu.make_async_copy(
                                     ft_ref.at[pl.ds(ot >> 2, 1), :],
                                     gft.at[pl.ds(i, 1), :], gsemf.at[i]).start()
+                                if df:
+                                    pltpu.make_async_copy(
+                                        ftl_ref.at[pl.ds(ot >> 2, 1), :],
+                                        gftl.at[pl.ds(i, 1), :],
+                                        gsemf2.at[i]).start()
                                 pltpu.make_async_copy(
                                     it_ref.at[pl.ds(ot >> 3, 1), :],
                                     git.at[pl.ds(i, 1), :], gsemi.at[i]).start()
@@ -532,6 +653,11 @@ def _fused_kernel(
                                 pltpu.make_async_copy(
                                     ft_ref.at[pl.ds(0, 1), :],
                                     gft.at[pl.ds(i, 1), :], gsemf.at[i]).wait()
+                                if df:
+                                    pltpu.make_async_copy(
+                                        ftl_ref.at[pl.ds(0, 1), :],
+                                        gftl.at[pl.ds(i, 1), :],
+                                        gsemf2.at[i]).wait()
                                 pltpu.make_async_copy(
                                     it_ref.at[pl.ds(0, 1), :],
                                     git.at[pl.ds(i, 1), :], gsemi.at[i]).wait()
@@ -580,12 +706,41 @@ def _fused_kernel(
 
                         # occupancy receipt: ACTUAL far children staged (the
                         # staging machinery ships whole 8-slots with gm = 0
-                        # fillers; S_SRC - S_FAR is the filler volume)
-                        st[AFAR] = st[AFAR] + jnp.sum(far8.astype(jnp.int32))
+                        # fillers; S_SRC - S_FAR is the filler volume).
+                        # NOT a bare scalar jnp.sum: Mosaic lowers scalar
+                        # reductions through a lower_fun proxy that
+                        # re-traces jnp.sum under the AMBIENT config — in
+                        # an x64 session (--dtype f64) the i32 sum then
+                        # promotes to i64 and Mosaic raises "64-bit types
+                        # are not supported".  Reduce to a non-scalar
+                        # (1,) first (direct multi_reduction path), then
+                        # squeeze (vector.ExtractOp) — the proxy's own
+                        # recipe, but traced here under our x64-off scope.
+                        st[AFAR] = st[AFAR] + jnp.squeeze(
+                            jnp.sum(
+                                far8.astype(jnp.int32)[jnp.newaxis, ...],
+                                axis=(1, 2),
+                            )
+                        )
                         gcx[...] = cx8
                         gcy[...] = cy8
                         gcz[...] = cz8
                         gfgm[...] = jnp.where(far8, gm8, 0.0)
+                        if df:
+                            def sel4l(off):
+                                r = gftl[:, 96 + off : 104 + off]
+                                for q in (2, 1, 0):
+                                    r = jnp.where(
+                                        q1 == q,
+                                        gftl[:, 32 * q + off : 32 * q + off + 8],
+                                        r,
+                                    )
+                                return r
+
+                            gcxl[...] = sel4l(0)
+                            gcyl[...] = sel4l(8)
+                            gczl[...] = sel4l(16)
+                            gfgml[...] = jnp.where(far8, sel4l(24), 0.0)
                         gst[...] = st8
                         gnct[...] = jnp.where(near8, ct8, 0)
                         bits128 = jnp.sum(
@@ -615,26 +770,21 @@ def _fused_kernel(
                                 def _():  # -- far COMs --
                                     nsrc = st[NSRC]
                                     m = (lanes >> 3) == ((nsrc >> 3) & 15)
-                                    srcacc[0:1, :] = jnp.where(
-                                        m,
-                                        pltpu.repeat(gcx[pl.ds(i, 1), :], 16, axis=1),
-                                        srcacc[0:1, :],
-                                    )
-                                    srcacc[1:2, :] = jnp.where(
-                                        m,
-                                        pltpu.repeat(gcy[pl.ds(i, 1), :], 16, axis=1),
-                                        srcacc[1:2, :],
-                                    )
-                                    srcacc[2:3, :] = jnp.where(
-                                        m,
-                                        pltpu.repeat(gcz[pl.ds(i, 1), :], 16, axis=1),
-                                        srcacc[2:3, :],
-                                    )
-                                    srcacc[3:4, :] = jnp.where(
-                                        m,
-                                        pltpu.repeat(gfgm[pl.ds(i, 1), :], 16, axis=1),
-                                        srcacc[3:4, :],
-                                    )
+                                    if df:
+                                        chans = (
+                                            gcx, gcxl, gcy, gcyl,
+                                            gcz, gczl, gfgm, gfgml,
+                                        )
+                                    else:
+                                        chans = (gcx, gcy, gcz, gfgm)
+                                    for c, arr in enumerate(chans):
+                                        srcacc[c : c + 1, :] = jnp.where(
+                                            m,
+                                            pltpu.repeat(
+                                                arr[pl.ds(i, 1), :], 16, axis=1
+                                            ),
+                                            srcacc[c : c + 1, :],
+                                        )
                                     st[NSRC] = nsrc + 8
                                     st[TSRC] = st[TSRC] + 8
 
@@ -714,12 +864,28 @@ def _fused_kernel(
                 burst()
                 drain_pk()
 
-            axs = jnp.sum(ax[...], axis=1, keepdims=True)
-            ays = jnp.sum(ay[...], axis=1, keepdims=True)
-            azs = jnp.sum(az[...], axis=1, keepdims=True)
-            acc_ref[gg] = jnp.transpose(
-                jnp.concatenate([axs, ays, azs, jnp.zeros_like(axs)], axis=1)
-            )
+            if df:
+                # compensated binary-halving lane reduction (a plain f32
+                # hi-sum would cost the entire df gain — pallas_df's
+                # measured 1.4e-7 lesson)
+                xh, xl = _df_lane_reduce(ax[...], axl[...])
+                yh, yl = _df_lane_reduce(ay[...], ayl[...])
+                zh, zl = _df_lane_reduce(az[...], azl[...])
+                zero = jnp.zeros_like(xh)
+                acc_ref[gg] = jnp.transpose(
+                    jnp.concatenate(
+                        [xh, yh, zh, zero, xl, yl, zl, zero], axis=1
+                    )
+                )
+            else:
+                axs = jnp.sum(ax[...], axis=1, keepdims=True)
+                ays = jnp.sum(ay[...], axis=1, keepdims=True)
+                azs = jnp.sum(az[...], axis=1, keepdims=True)
+                acc_ref[gg] = jnp.transpose(
+                    jnp.concatenate(
+                        [axs, ays, azs, jnp.zeros_like(axs)], axis=1
+                    )
+                )
             # one vector write per program: SMEM stats arrays scale with the
             # group count and overflow the 1 MB SMEM budget at 10M+ bodies
             stats_ref[gg] = (
@@ -750,15 +916,23 @@ def fused_group_forces(
     groups_per_program: int = 8,
     interpret: bool = False,
     debug_mode: str = "full",
+    ftl=None,
+    df: bool = False,
 ):
-    """Run the fused kernel on planar (G,4,B) groups: (G,3,B) planar
-    accelerations + (G,8) stats.  debug_mode != "full" disables stages
-    for hardware cost bisection (tools/profile_fused_stages.py) — the
-    returned accelerations are then meaningless."""
-    n_groups, _, b = pg.shape
-    # the eval loop consumes EVAL_CHAINS rows per iteration (ztail pads up
+    """Run the fused kernel on planar (G,C,B) groups: planar
+    accelerations + (G,8) stats.  C = 4 f32 rows [x; y; z; gm] by
+    default; with `df` (and `ftl`, the low-half float table) the groups
+    carry 8 df channels and the eval runs the compensated-f32x2
+    pipeline — returns (G,8,B) with hi rows 0..2 / lo rows 4..6 (else
+    (G,3,B)).  debug_mode != "full" disables stages for hardware cost
+    bisection (tools/profile_fused_stages.py) — the returned
+    accelerations are then meaningless."""
+    n_groups, c_ch, b = pg.shape
+    assert c_ch == (8 if df else 4), (c_ch, df)
+    chains = EVAL_CHAINS_DF if df else EVAL_CHAINS
+    # the eval loop consumes `chains` rows per iteration (ztail pads up
     # to the multiple), so the row buffer must be sized accordingly
-    rb = -(-int(burst_rows) // EVAL_CHAINS) * EVAL_CHAINS
+    rb = -(-int(burst_rows) // chains) * chains
     fcap = -(-int(frontier_cap) // 128) * 128
     fch = fcap // 128
     # groups per program: the per-program pipeline overhead is ~150 us on
@@ -770,19 +944,51 @@ def fused_group_forces(
         pg = jnp.pad(pg, ((0, g_pad - n_groups), (0, 0), (0, 0)))
         gcount = jnp.pad(gcount, (0, g_pad - n_groups))
     grid = (g_pad // gpp,)
+    import numpy as np
+
+    eps2_hi = float(np.float32(eps2))
+    eps2_lo = float(np.float32(float(eps2) - eps2_hi)) if df else 0.0
+    if ftl is None:
+        ftl = jnp.zeros((1, 128), jnp.float32)  # inert non-df placeholder
     kern = functools.partial(
         _fused_kernel,
         theta_sq=float(theta) * float(theta),
-        eps2=float(eps2),
+        eps2=eps2_hi if df else float(eps2),
+        eps2_lo=eps2_lo,
         leaf_cap=int(leaf_cap),
         ld=int(ld),
         rb=rb,
         fcap=fcap,
         gpp=gpp,
+        chains=chains,
+        df=bool(df),
         interpret_gather=bool(interpret),
         debug_mode=debug_mode,
     )
-    acc, stats = pl.pallas_call(
+    # df-only scratch collapses to minimal tiles in f32 mode (unused refs
+    # cost their allocation, nothing else)
+    dfb = b if df else 8
+    dfg = 128 if df else 8
+    # The kernel body is written in i32-default arithmetic; under
+    # jax_enable_x64 (the --dtype f64 sessions that reach the df mode)
+    # every bare Python int literal would trace as i64 and Mosaic's
+    # convert-to-i64 helper recurses to a RecursionError (measured on
+    # chip, round 5).  All operands and outputs here are f32/i32, so
+    # trace the pallas_call under x64-disabled promotion semantics.
+    with jax.enable_x64(False):
+        acc, stats = _fused_pallas_call(
+            kern, grid, gpp, c_ch, b, g_pad, rb, fch, ld, dfb, dfg,
+            interpret,
+        )(gcount, bsq, ooff, ft, ftl, it, pg, ps)
+    if df:
+        return acc[:n_groups], stats[:n_groups, 0, :8]
+    return acc[:n_groups, :3, :], stats[:n_groups, 0, :8]
+
+
+def _fused_pallas_call(
+    kern, grid, gpp, c_ch, b, g_pad, rb, fch, ld, dfb, dfg, interpret
+):
+    return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
@@ -796,15 +1002,16 @@ def fused_group_forces(
             # The BFS gather DMAs exactly the frontier's rows instead.
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((gpp, 4, b), lambda g: (g, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((gpp, c_ch, b), lambda g: (g, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((gpp, 4, b), lambda g: (g, 0, 0)),
+            pl.BlockSpec((gpp, c_ch, b), lambda g: (g, 0, 0)),
             pl.BlockSpec((gpp, 1, 128), lambda g: (g, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((g_pad, 4, b), jnp.float32),
+            jax.ShapeDtypeStruct((g_pad, c_ch, b), jnp.float32),
             jax.ShapeDtypeStruct((g_pad, 1, 128), jnp.int32),
         ],
         scratch_shapes=[
@@ -813,24 +1020,33 @@ def fused_group_forces(
             pltpu.SMEM((1, 128), jnp.int32),
             pltpu.SMEM((rb, 4), jnp.int32),
             pltpu.SMEM((2, 128), jnp.int32),
-            pltpu.VMEM((4, 128), jnp.float32),
+            pltpu.VMEM((c_ch, 128), jnp.float32),
             pltpu.VMEM((1, 128), jnp.int32),
             pltpu.VMEM((1, 128), jnp.int32),
-            pltpu.VMEM((rb, 4, 128), jnp.float32),
-            pltpu.VMEM((rb, 4, 128), jnp.float32),
+            pltpu.VMEM((rb, c_ch, 128), jnp.float32),
+            pltpu.VMEM((rb, c_ch, 128), jnp.float32),
             pltpu.VMEM((b, 128), jnp.float32),
             pltpu.VMEM((b, 128), jnp.float32),
             pltpu.VMEM((b, 128), jnp.float32),
+            pltpu.VMEM((dfb, 128), jnp.float32),  # axl
+            pltpu.VMEM((dfb, 128), jnp.float32),  # ayl
+            pltpu.VMEM((dfb, 128), jnp.float32),  # azl
             pltpu.VMEM((128, 128), jnp.float32),
+            pltpu.VMEM((dfg, 128), jnp.float32),  # gftl
             pltpu.VMEM((128, 128), jnp.int32),
             pltpu.VMEM((128, 8), jnp.float32),
             pltpu.VMEM((128, 8), jnp.float32),
             pltpu.VMEM((128, 8), jnp.float32),
             pltpu.VMEM((128, 8), jnp.float32),
+            pltpu.VMEM((dfg, 8), jnp.float32),  # gcxl
+            pltpu.VMEM((dfg, 8), jnp.float32),  # gcyl
+            pltpu.VMEM((dfg, 8), jnp.float32),  # gczl
+            pltpu.VMEM((dfg, 8), jnp.float32),  # gfgml
             pltpu.VMEM((128, 8), jnp.int32),
             pltpu.VMEM((128, 8), jnp.int32),
             pltpu.VMEM((1, 128), jnp.int32),
             pltpu.VMEM((1, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((128,)),
             pltpu.SemaphoreType.DMA((128,)),
             pltpu.SemaphoreType.DMA((128,)),
             pltpu.SemaphoreType.DMA((rb,)),
@@ -838,10 +1054,15 @@ def fused_group_forces(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # df mode: the compensated pair pipeline holds ~2x32 live
+            # (B, 128) f32 temporaries across its two chains — the
+            # scoped-VMEM stack needs 23.4 MB at B=1024 (measured on
+            # chip) vs the 16 MB default limit.  v5e carries 128 MB of
+            # VMEM; raise the cap for the df kernel only.
+            vmem_limit_bytes=96 * 1024 * 1024 if c_ch == 8 else None,
         ),
         interpret=interpret,
-    )(gcount, bsq, ooff, ft, it, pg, ps)
-    return acc[:n_groups, :3, :], stats[:n_groups, 0, :8]
+    )
 
 
 def aux_octet_offsets():

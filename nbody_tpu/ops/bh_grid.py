@@ -65,10 +65,14 @@ def build_grid(
     keys_sorted: jax.Array,
     depth: int,
     ld: int,
+    table_dtype=jnp.float32,
 ) -> GridTree:
     """Build dense levels 0..ld from Morton-sorted bodies.
 
     gm_sorted is G * mass (the kernel emits [x y z Gm] rows directly).
+    `table_dtype` selects the accumulation/table precision: the df
+    Barnes-Hut path (ops/bh_fused_df.py) builds in f64 and splits the
+    tables into f32 hi/lo halves.
     """
     n = pos_sorted.shape[0]
     k_terminal = 8**ld
@@ -76,11 +80,14 @@ def build_grid(
     nid = (keys_sorted >> (3 * (depth - ld))).astype(jnp.int32)
 
     w = jax.ops.segment_sum(
-        gm_sorted[:, None] * pos_sorted.astype(jnp.float32),
+        gm_sorted.astype(table_dtype)[:, None]
+        * pos_sorted.astype(table_dtype),
         nid,
         num_segments=k_terminal,
     )  # (K, 3)
-    gm = jax.ops.segment_sum(gm_sorted, nid, num_segments=k_terminal)
+    gm = jax.ops.segment_sum(
+        gm_sorted.astype(table_dtype), nid, num_segments=k_terminal
+    )
     cnt = jax.ops.segment_sum(
         jnp.ones((n,), jnp.int32), nid, num_segments=k_terminal
     )
@@ -111,7 +118,7 @@ def build_grid(
         cx=com[:, 0].reshape(1, total),
         cy=com[:, 1].reshape(1, total),
         cz=com[:, 2].reshape(1, total),
-        gm=gm_all.astype(jnp.float32).reshape(1, total),
+        gm=gm_all.astype(table_dtype).reshape(1, total),
         cnt=cnt_all.reshape(1, total),
         start=start_all.astype(jnp.int32).reshape(1, total),
     )

@@ -72,11 +72,25 @@ def main() -> None:
         # integration, resort every 8 steps
         return _persistent_bench(n, steps, on_tpu)
 
+    dtype = jnp.float32
+    kind = "fp32"
+    if "--df" in sys.argv:
+        # fp64-grade df fused kernel (ops/bh_fused_df.py) under x64
+        # state — the apples-to-apples row vs bh_cuda, whose 5.876
+        # s/step at 1M is itself an fp64 number (cuda/barnes-hut.cu
+        # double* arrays)
+        jax.config.update("jax_enable_x64", True)
+        from nbody_tpu.ops.bh_fused_df import barneshut_fused_df
+
+        force = barneshut_fused_df
+        dtype = jnp.float64
+        kind = "fp64-grade df"
+
     rng = np.random.default_rng(0)
     bodies = Bodies(
-        pos=jnp.asarray(rng.uniform(-2.0, 2.0, (n, 3)), jnp.float32),
-        vel=jnp.asarray(rng.uniform(-1.0, 1.0, (n, 3)), jnp.float32),
-        mass=jnp.asarray(rng.uniform(0.04, 1.0, n), jnp.float32),
+        pos=jnp.asarray(rng.uniform(-2.0, 2.0, (n, 3)), dtype),
+        vel=jnp.asarray(rng.uniform(-1.0, 1.0, (n, 3)), dtype),
+        mass=jnp.asarray(rng.uniform(0.04, 1.0, n), dtype),
     )
 
     def run():
@@ -98,7 +112,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": f"Barnes-Hut seconds/step ({n} bodies, theta=0.5, "
-                "fp32; lower is better)",
+                f"{kind}; lower is better)",
                 "value": sec_per_step,
                 "unit": "s/step",
                 "vs_baseline": vsb,
@@ -106,7 +120,10 @@ def main() -> None:
         )
     )
     if "--record" in sys.argv:
-        _record(n, "fused", sec_per_step, vsb)
+        _record(
+            n, "fused-df" if "--df" in sys.argv else "fused",
+            sec_per_step, vsb,
+        )
 
 
 def _persistent_bench(n: int, steps: int, on_tpu: bool) -> None:
