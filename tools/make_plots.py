@@ -19,6 +19,11 @@ Outputs (docs/img/):
                       all-pairs exchanges (from mem_scaling.json) — the
                       scaling-study analog the thread-efficiency plots
                       play in the reference.
+  scaling_prediction.png
+                      ICI-bandwidth-model predicted step time vs P
+                      (from scaling_prediction.json: measured 1-chip
+                      compute / P + HLO-counted collective bytes over
+                      the v5e ICI bandwidth).
 
 Usage: python tools/make_plots.py [--outdir docs/img]
 """
@@ -202,6 +207,44 @@ def plot_mem(outdir: str) -> None:
     _save(fig, outdir, "mem_scaling.png")
 
 
+def plot_scaling_prediction(outdir: str) -> None:
+    path = os.path.join(BENCH_DIR, "scaling_prediction.json")
+    if not os.path.exists(path):
+        return
+    rows = _read_jsonl(path)
+    by_cfg: dict[str, list[dict]] = {}
+    for r in rows:
+        by_cfg.setdefault(r["config"], []).append(r)
+
+    fig, ax = _fig(w=6.8, h=3.8)
+    _style(ax, logx=True, logy=True)
+    palette = {"exhaustive/1000000": C_REF,
+               "barnes-hut-persistent/1000000": C_OURS,
+               "barnes-hut-persistent/10000000": C_AUX}
+    for cfg, rs in by_cfg.items():
+        rs = sorted(rs, key=lambda r: r["p"])
+        ps = [r["p"] for r in rs]
+        ts = [r["step_s_serial"] for r in rs]
+        color = palette.get(cfg, INK2)
+        ax.plot(ps, ts, "-o", color=color, linewidth=2, markersize=5)
+        # ideal = measured single-chip compute / P, anchored at the
+        # smallest modeled P
+        ideal = [rs[0]["compute_s"] * rs[0]["p"] / p for p in ps]
+        ax.plot(ps, ideal, "--", color=color, linewidth=1, alpha=0.5)
+        ax.annotate(cfg, (ps[-1], ts[-1]), textcoords="offset points",
+                    xytext=(-4, 7), ha="right", fontsize=8, color=INK2)
+    ax.set_xticks(sorted({r["p"] for r in rows}))
+    ax.get_xaxis().set_major_formatter(matplotlib.ticker.ScalarFormatter())
+    ax.set_xlabel("chips (P)", fontsize=10, color=INK2)
+    ax.set_ylabel("predicted s/step", fontsize=10, color=INK2)
+    ax.set_title(
+        "ICI-model predicted step time vs mesh size\n"
+        "(1-chip compute / P + counted bytes / ICI bw; dashed = ideal)",
+        fontsize=10, color=INK,
+    )
+    _save(fig, outdir, "scaling_prediction.png")
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--outdir",
@@ -212,6 +255,7 @@ def main(argv=None) -> None:
     plot_grid(args.outdir)
     plot_drift(args.outdir)
     plot_mem(args.outdir)
+    plot_scaling_prediction(args.outdir)
 
 
 if __name__ == "__main__":
