@@ -67,8 +67,8 @@ def build_parser() -> argparse.ArgumentParser:
         help="per-body softening lengths eps_i, one per line (N lines); "
         "pairs soften with the symmetric mean (eps_i^2 + eps_j^2)/2 — a "
         "capability beyond the reference's single global value.  "
-        "Exhaustive algorithm only, unsharded (tree nodes aggregate "
-        "bodies; per-node softening classes are future work)",
+        "Exhaustive algorithm only, sharded or not (tree nodes "
+        "aggregate bodies; per-node softening classes are future work)",
     )
     p.add_argument(
         "--bh-robust",
@@ -368,10 +368,11 @@ def build_force_fn(args, n: int):
 
     eps2_per_body = None
     if getattr(args, "softening_per_body", None):
-        if algo != "exhaustive" or args.shard:
+        if algo != "exhaustive":
             raise SystemExit(
-                "--softening-per-body requires --algo exhaustive, "
-                "unsharded (got algo=%s shard=%s)" % (algo, args.shard)
+                "--softening-per-body requires --algo exhaustive "
+                "(got algo=%s); tree paths need per-node softening "
+                "classes" % algo
             )
         import jax.numpy as jnp
 
@@ -433,10 +434,14 @@ def build_force_fn(args, n: int):
                 from nbody_tpu.parallel.sharding import shard_force_fn2d
 
                 force = shard_force_fn2d(
-                    rect, mesh=make_mesh2d(args.mesh_shape)
+                    rect, mesh=make_mesh2d(args.mesh_shape),
+                    eps2_per_body=eps2_per_body,
                 )
             else:
-                force = shard_force_fn(rect, jstream=args.jstream)
+                force = shard_force_fn(
+                    rect, jstream=args.jstream,
+                    eps2_per_body=eps2_per_body,
+                )
         elif want_df:
             from nbody_tpu.ops.pallas_df import pallas_accelerations_df
 

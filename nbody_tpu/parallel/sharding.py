@@ -86,6 +86,7 @@ def shard_force_fn(
     axis_name: str = BODY_AXIS,
     *,
     jstream: str = "auto",
+    eps2_per_body: jax.Array | None = None,
 ):
     """Wrap a rectangular force into a sharded (pos, mass) -> acc ForceFn.
 
@@ -104,46 +105,100 @@ def shard_force_fn(
       hop moves only 16 N/P bytes over one ICI link, and XLA overlaps the
       collective-permute with the previous block's force math.
     * ``jstream="auto"``: ring above RING_THRESHOLD bodies, gather below.
+
+    ``eps2_per_body`` (N, unpadded) switches on symmetric-mean per-body
+    softening: the eps2 array shards along i like mass, and its j-side
+    rides the same exchange as the sources (gathered once, or rotated
+    around the ppermute ring) — per-body softening costs one extra (N,)
+    lane of traffic, nothing more.
     """
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
     if rect_fn is None:
         rect_fn = default_rect_fn()
+    per_body = eps2_per_body is not None
 
-    def local(pos_l, mass_l):
+    def local(pos_l, mass_l, *rest):
+        e2_l = rest[0] if per_body else None
         n = pos_l.shape[0] * n_dev
         mode = jstream
         if mode == "auto":
             mode = "ring" if n >= RING_THRESHOLD else "gather"
+        ekw = lambda e2_j: (
+            dict(eps2_i=e2_l, eps2_all=e2_j) if per_body else {}
+        )
         if mode == "gather" or n_dev == 1:
             pos_all = lax.all_gather(pos_l, axis_name, axis=0, tiled=True)
             mass_all = lax.all_gather(mass_l, axis_name, axis=0, tiled=True)
-            return rect_fn(pos_l, pos_all, mass_all)
+            e2_all = (
+                lax.all_gather(e2_l, axis_name, axis=0, tiled=True)
+                if per_body else None
+            )
+            return rect_fn(pos_l, pos_all, mass_all, **ekw(e2_all))
         ring = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-        pos_j, mass_j = pos_l, mass_l
+        pos_j, mass_j, e2_j = pos_l, mass_l, e2_l
         acc = None
         for k in range(n_dev):
-            blk = rect_fn(pos_l, pos_j, mass_j)
+            blk = rect_fn(pos_l, pos_j, mass_j, **ekw(e2_j))
             acc = blk if acc is None else acc + blk
             if k + 1 < n_dev:
                 pos_j = lax.ppermute(pos_j, axis_name, ring)
                 mass_j = lax.ppermute(mass_j, axis_name, ring)
+                if per_body:
+                    e2_j = lax.ppermute(e2_j, axis_name, ring)
         return acc
 
-    return jax.jit(
+    in_specs = (P(axis_name, None), P(axis_name))
+    if per_body:
+        in_specs = in_specs + (P(axis_name),)
+    mapped = jax.jit(
         jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(axis_name, None), P(axis_name)),
+            in_specs=in_specs,
             out_specs=P(axis_name, None),
             check_vma=False,  # pallas_call outputs carry no vma annotations
         )
     )
+    if not per_body:
+        return mapped
+    return _close_over_eps2(mapped, eps2_per_body, mesh, P(axis_name))
+
+
+def _close_over_eps2(mapped, eps2_per_body, mesh, spec):
+    """Wrap a shard_mapped (pos, mass, eps2) force into the framework's
+    (pos, mass) ForceFn contract: the caller's state arrives padded by
+    shard_bodies, so the constant eps2 array pads and places lazily at
+    first call, keyed on the padded size.
+
+    Pads get eps2 = 1, NOT 0: sharded pads live in the integrator STATE,
+    and two coincident zero-mass pads with eps2 = 0 make r2 = 0 ->
+    inf * (gm = 0) = NaN in the pad's own acceleration, which the next
+    step's kick feeds back as a NaN source position poisoning every real
+    body.  A positive pad softening keeps pad rows finite; their value
+    never matters (zero-mass sources contribute exactly 0)."""
+    sh = NamedSharding(mesh, spec)
+    cache: dict[int, jax.Array] = {}
+
+    def force(pos, mass, _e2=eps2_per_body):
+        m = pos.shape[0]
+        e2 = cache.get(m)
+        if e2 is None:
+            e2 = jnp.pad(
+                jnp.asarray(_e2, jnp.float32), (0, m - _e2.shape[0]),
+                constant_values=1.0,
+            )
+            e2 = cache[m] = jax.device_put(e2, sh)
+        return mapped(pos, mass, e2)
+
+    return force
 
 
 def shard_force_fn2d(
     rect_fn: Optional[RectForceFn] = None,
     mesh=None,
+    *,
+    eps2_per_body: jax.Array | None = None,
 ):
     """2-D torus force decomposition: (pos, mass) sharded over a
     (BODY_AXIS, J_AXIS) mesh (mesh.make_mesh2d) -> acc, same sharding.
@@ -175,24 +230,42 @@ def shard_force_fn2d(
         raise ValueError("shard_force_fn2d needs a make_mesh2d mesh")
     if rect_fn is None:
         rect_fn = default_rect_fn()
+    per_body = eps2_per_body is not None
 
-    def local(pos_l, mass_l):
+    def local(pos_l, mass_l, *rest):
         pos_i = lax.all_gather(pos_l, J_AXIS, axis=0, tiled=True)
         pos_j = lax.all_gather(pos_l, BODY_AXIS, axis=0, tiled=True)
         mass_j = lax.all_gather(mass_l, BODY_AXIS, axis=0, tiled=True)
-        blk = rect_fn(pos_i, pos_j, mass_j)  # (N/pi, 3) partial forces
+        ekw = {}
+        if per_body:
+            # eps2 rides the same two gathers as the i/j position sides
+            ekw = dict(
+                eps2_i=lax.all_gather(rest[0], J_AXIS, axis=0, tiled=True),
+                eps2_all=lax.all_gather(
+                    rest[0], BODY_AXIS, axis=0, tiled=True
+                ),
+            )
+        blk = rect_fn(pos_i, pos_j, mass_j, **ekw)  # (N/pi, 3) partials
         return lax.psum_scatter(
             blk, J_AXIS, scatter_dimension=0, tiled=True
         )
 
-    return jax.jit(
+    in_specs = (P((BODY_AXIS, J_AXIS), None), P((BODY_AXIS, J_AXIS)))
+    if per_body:
+        in_specs = in_specs + (P((BODY_AXIS, J_AXIS)),)
+    mapped = jax.jit(
         jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(P((BODY_AXIS, J_AXIS), None), P((BODY_AXIS, J_AXIS))),
+            in_specs=in_specs,
             out_specs=P((BODY_AXIS, J_AXIS), None),
             check_vma=False,  # pallas_call outputs carry no vma annotations
         )
+    )
+    if not per_body:
+        return mapped
+    return _close_over_eps2(
+        mapped, eps2_per_body, mesh, P((BODY_AXIS, J_AXIS))
     )
 
 
