@@ -675,9 +675,9 @@ def main(argv=None) -> int:
         and not getattr(args, "bh_ld", 0)
         and bodies.n > 32768
     ):
-        from nbody_tpu.ops.bh_autold import choose_ld
+        from nbody_tpu.ops.bh_autold import choose_ld_cached
 
-        ld_pick, _ = choose_ld(
+        ld_pick, was_cached = choose_ld_cached(
             arr[:, 0:3],
             arr[:, 6],
             robust=True,
@@ -689,8 +689,9 @@ def main(argv=None) -> int:
         args.bh_ld = ld_pick
         print(
             f"note: data-adaptive grid depth picked --bh-ld {ld_pick} "
-            "(measured-cost pricing of the Morton occupancy histogram; "
-            "override with --bh-ld)",
+            + ("(cached probe; " if was_cached else
+               "(measured-cost pricing of the Morton occupancy histogram; ")
+            + "override with --bh-ld)",
             file=sys.stderr,
         )
 

@@ -280,3 +280,78 @@ def choose_ld(
                 + ("  <- pick" if d == best else "")
             )
     return best, costs
+
+
+# ---------------------------------------------------------------------------
+# Persistent cache for the probe (VERDICT r4 weak #7): the host-side dry
+# traversal costs 10-13 s at 1M bodies, and a resumed or re-run simulation
+# on the same fixture re-paid it every launch.  The pick is a pure function
+# of the input distribution and the pricing config, so key it on a cheap
+# content hash (a strided coordinate/mass sample — the probe itself only
+# looks at a stratified sample of groups) and persist the choice next to
+# the XLA compile cache.
+
+_CACHE_SCHEMA = 1  # bump when pricing constants / probe semantics change
+
+
+def _autold_cache_path() -> str:
+    import os
+
+    base = os.environ.get(
+        "NBODY_TPU_COMPILE_CACHE",
+        os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+            "nbody_tpu_xla",
+        ),
+    )
+    return os.path.join(base, "autold_cache.json")
+
+
+def _autold_key(pos, mass, kwargs) -> str:
+    import hashlib
+
+    n = pos.shape[0]
+    stride = max(1, n // 4096)
+    h = hashlib.sha1()
+    h.update(np.ascontiguousarray(pos[::stride], np.float32).tobytes())
+    h.update(np.ascontiguousarray(mass[::stride], np.float32).tobytes())
+    cfg = {k: kwargs.get(k) for k in sorted(kwargs) if k != "verbose"}
+    h.update(repr((_CACHE_SCHEMA, n, NS_PER_SOURCE, NS_PER_POP,
+                   NS_PER_TABLE_NODE, NS_PER_BUILD_NODE, cfg)).encode())
+    return h.hexdigest()
+
+
+def choose_ld_cached(pos: np.ndarray, mass: np.ndarray, **kwargs):
+    """`choose_ld` with a persistent on-disk memo.  Returns (ld, cached)
+    where `cached` says whether the probe was skipped.  Cache misses run
+    the probe and append; IO failures silently fall back to probing —
+    like the compile cache, this is an optimization, never a requirement.
+    Disable with NBODY_TPU_NO_COMPILE_CACHE (it rides the same dir)."""
+    import json
+    import os
+
+    pos = np.asarray(pos, np.float32)
+    mass = np.asarray(mass, np.float32)
+    if os.environ.get("NBODY_TPU_NO_COMPILE_CACHE"):
+        return choose_ld(pos, mass, **kwargs)[0], False
+    path = _autold_cache_path()
+    key = _autold_key(pos, mass, kwargs)
+    table: dict = {}
+    try:
+        with open(path) as f:
+            table = json.load(f)
+        if key in table:
+            return int(table[key]), True
+    except Exception:
+        table = {}
+    ld, _ = choose_ld(pos, mass, **kwargs)
+    try:
+        table[key] = int(ld)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp.%d" % os.getpid()
+        with open(tmp, "w") as f:
+            json.dump(table, f)
+        os.replace(tmp, path)
+    except Exception:
+        pass
+    return int(ld), False

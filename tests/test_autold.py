@@ -137,3 +137,32 @@ def test_estimate_matches_kernel_receipts():
     )
     est = costs[3]["near"]
     assert est / got_near < 2.0 and got_near / est < 2.0, (est, got_near)
+
+
+def test_choose_ld_cached_memo(tmp_path, monkeypatch):
+    """The persistent probe memo (VERDICT r4 weak #7): a re-run on the
+    same input skips the probe and returns the same pick; a different
+    input or pricing config misses."""
+    from nbody_tpu.ops import bh_autold
+
+    monkeypatch.setenv("NBODY_TPU_COMPILE_CACHE", str(tmp_path))
+    monkeypatch.delenv("NBODY_TPU_NO_COMPILE_CACHE", raising=False)
+    pos, mass = _plummer(60000, seed=5)
+    ld0, hit0 = bh_autold.choose_ld_cached(pos, mass, robust=True)
+    assert not hit0
+    ld1, hit1 = bh_autold.choose_ld_cached(pos, mass, robust=True)
+    assert hit1 and ld1 == ld0
+    # config change -> new key (probe runs again)
+    ld2, hit2 = bh_autold.choose_ld_cached(
+        pos, mass, robust=True, theta=0.9
+    )
+    assert not hit2
+    # content change -> new key
+    pos2 = pos.copy()
+    pos2[0] += 100.0
+    _, hit3 = bh_autold.choose_ld_cached(pos2, mass, robust=True)
+    assert not hit3
+    # opt-out env falls back to probing, never reads the memo
+    monkeypatch.setenv("NBODY_TPU_NO_COMPILE_CACHE", "1")
+    ld4, hit4 = bh_autold.choose_ld_cached(pos, mass, robust=True)
+    assert not hit4 and ld4 == ld0
