@@ -237,12 +237,14 @@ BLOCK_RECORD = os.path.join(REPO, "bench", "block_tiers.json")
 
 def test_block_tiers_record():
     """The stratified-fixture block-step A/B on silicon (VERDICT r4
-    item 3): per-tier grid prefixes ship as the CLI default
-    (cli/main.py --block-prefix), so the record must show prefixes
-    actually beating the masked path — and block mode beating the
-    uniform-fine integration it exists to avoid — on the regime it
-    targets (hot core + cold halo, tiers stratified ACROSS groups).
-    If a future measurement flips this, flip the CLI default with it."""
+    item 3).  Measured truth (round 5, 1M hot-core/cold-halo fixture,
+    tiers [900, 10, 94]): masked 845.2 vs prefix 849.8 ms/macro-step —
+    the round-4 packed eval made masked-out groups nearly free, so the
+    per-tier prefix subgrids were REFUTED as a win and masked is the
+    CLI default (`--block-prefix` keeps the path for A/B).  The gate
+    pins (a) the CLI default to the record's winner, (b) block mode
+    beating the uniform-fine integration it exists to avoid, and (c)
+    the winner under the verdict's 900 ms bar."""
     if not os.path.exists(BLOCK_RECORD):
         pytest.skip("no block-tiers record yet")
     with open(BLOCK_RECORD) as f:
@@ -252,12 +254,15 @@ def test_block_tiers_record():
     assert len(hist) == r["n_tiers"] and sum(hist) > 0
     # the regime premise: tiers actually stratified (not all-finest)
     assert max(hist) < sum(hist), hist
-    assert r["prefix_ms"] < r["masked_ms"], (
-        "prefix grids lost to masked on silicon — flip the CLI default"
+    assert r["masked_ms"] <= r["prefix_ms"], (
+        "prefix grids beat masked on silicon — flip the CLI default "
+        "back to prefix (cli/main.py --block-prefix)"
     )
-    assert r["prefix_ms"] < r["uniform_fine_ms"], (
+    winner = min(r["masked_ms"], r["prefix_ms"])
+    assert winner < r["uniform_fine_ms"], (
         "block tiers lost to uniform-fine integration"
     )
+    assert winner < 900.0, winner
 
 
 DRYRUN_RECORD = os.path.join(REPO, "bench", "dryrun_budget.json")
