@@ -139,21 +139,33 @@ def _persistent_bench(n: int, steps: int, on_tpu: bool) -> None:
     pos = jnp.asarray(rng.uniform(-2.0, 2.0, (n, 3)), jnp.float32)
     vel = jnp.asarray(rng.uniform(-1.0, 1.0, (n, 3)), jnp.float32)
     mass = jnp.asarray(rng.uniform(0.04, 1.0, n), jnp.float32)
-    _, ld, _, _ = _layout(n, 1024)
+    ld_arg = 0
+    for i, a in enumerate(sys.argv[1:-1]):
+        if a == "--ld":
+            ld_arg = int(sys.argv[1:][i + 1])
+    _, ld, _, _ = _layout(n, 1024, ld=ld_arg or None)
     fkw = dict(theta=0.5, softening_sq=0.01, leaf_cap=64, ld=ld,
                interpret=not on_tpu)
     st = init_state(pos, vel, mass, group_size=1024)
     st = prime(st, **fkw)
     k = max(steps, 3)
+    # Beyond ~20M bodies a k-step scan is one device program over the
+    # watchdog's ~90 s ceiling (CLAUDE.md) — dispatch per step instead;
+    # the ~27 ms host round trip per step is noise at multi-second steps.
+    per_step = n > 20_000_000
+    scan_k = 1 if per_step else k
 
     def run(st):
-        st = kdk_steps(st, k, 1e-4, **fkw)
+        for _ in range(k // scan_k):
+            st = kdk_steps(st, scan_k, 1e-4, **fkw)
+            if per_step:
+                np.asarray(st.acc[:1, :1])
         np.asarray(st.acc[:1, :1])
         return st
 
     st = run(st)  # compile
     best = float("inf")
-    for _ in range(3):
+    for _ in range(1 if per_step else 3):
         t0 = _time.perf_counter()
         st = run(st)
         best = min(best, _time.perf_counter() - t0)
