@@ -127,7 +127,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="contact distance for perfectly inelastic body mergers "
         "(ops/collisions.py; beyond the reference, which is strictly "
         "collisionless).  Absorbed bodies continue as zero-mass tracers; "
-        "mass and momentum are conserved exactly.  Unsharded runs only",
+        "mass and momentum are conserved exactly.  Unsharded runs only; "
+        "composes with --resort-every (the persistent layout rebuilds "
+        "its Morton float tables at merge boundaries)",
     )
     p.add_argument(
         "--merge-every",
@@ -875,6 +877,7 @@ def main(argv=None) -> int:
         print(f"Initial energy: KE={ke0:.9g} PE={pe0:.9g} E={e0:.9g}")
 
     writer = None
+    writer_mass_update = None
     if not args.no_output:
         import os as _os
 
@@ -886,7 +889,9 @@ def main(argv=None) -> int:
             and _os.path.exists(args.output)
             and _os.path.getsize(args.output) > 0
         )
-        mass_np = np.asarray(bodies.mass, dtype=np.float64)[:n_real]
+        # mutable holder: merging paths push the post-merge masses here
+        # so later frames carry the running mass column, not the initial
+        mass_holder = {"m": np.asarray(bodies.mass, dtype=np.float64)[:n_real]}
         stride = max(1, args.write_every)
         # global frame index (0 = initial state of the original run)
         state = {"count": resume_step if resuming_output else 0}
@@ -902,7 +907,10 @@ def main(argv=None) -> int:
                 skip["n"] -= k
             sel = chunk[idx % stride == 0]
             if len(sel):
-                write_frames(args.output, [sel], mass_np, append=True)
+                write_frames(args.output, [sel], mass_holder["m"], append=True)
+
+        def writer_mass_update(m) -> None:
+            mass_holder["m"] = np.asarray(m, dtype=np.float64)[:n_real]
 
         if not resuming_output:
             open(args.output, "w").close()
@@ -952,11 +960,20 @@ def main(argv=None) -> int:
             "--block-tiers requires the unsharded persistent path "
             "(--resort-every with the fused Barnes-Hut KDK integrator)"
         )
-    if args.merge_radius > 0 and (args.shard or persistent):
+    if args.merge_radius > 0 and args.shard:
         raise SystemExit(
-            "--merge-radius requires an unsharded, non-persistent run "
-            "(merging changes masses; the persistent/sharded layouts "
-            "cache mass-derived state)"
+            "--merge-radius requires an unsharded run (merging changes "
+            "masses; the sharded layouts cache mass-derived state "
+            "across chips)"
+        )
+    if args.merge_radius > 0 and persistent and args.block_tiers > 1:
+        raise SystemExit(
+            "--merge-radius and --block-tiers cannot combine (a merge "
+            "invalidates the tier assignment mid-macro-step); pick one"
+        )
+    if args.merge_radius > 0 and persistent and args.adaptive_eta > 0:
+        raise SystemExit(
+            "--adaptive-eta and --merge-radius cannot combine yet"
         )
 
     progress_fn = None
@@ -1078,7 +1095,15 @@ def main(argv=None) -> int:
             from nbody_tpu.ops.bh_persistent import simulate_persistent
 
             bh_kw = _bh_kwargs(args)
-            p_out, v_out = simulate_persistent(
+            merge_kw = {}
+            if args.merge_radius > 0:
+                merge_kw = dict(
+                    merge_radius=args.merge_radius,
+                    merge_every=max(1, args.merge_every),
+                    merge_report=lambda k: print(f"Merged bodies: {k}"),
+                    mass_update=writer_mass_update,
+                )
+            out = simulate_persistent(
                 bodies.pos, bodies.vel, bodies.mass, n_steps, dt,
                 G=args.G, softening_sq=args.softening2, theta=args.theta,
                 resort_every=args.resort_every,
@@ -1095,13 +1120,20 @@ def main(argv=None) -> int:
                     max(128, bodies.n // 512) if args.bh_robust else 0
                 ),
                 ld=args.bh_ld,
+                **merge_kw,
                 **{k: v for k, v in bh_kw.items()
                    if k in ("group_size", "leaf_cap")},
             )
+            if args.merge_radius > 0:
+                p_out, v_out, m_out = out
+                mass_out = m_out.astype(bodies.mass.dtype)
+            else:
+                p_out, v_out = out
+                mass_out = bodies.mass
             bodies = _Bodies(
                 p_out.astype(bodies.pos.dtype),
                 v_out.astype(bodies.vel.dtype),
-                bodies.mass,
+                mass_out,
             )
         elif args.adaptive_eta > 0:
             from nbody_tpu.integrate.adaptive import simulate_adaptive
@@ -1134,6 +1166,7 @@ def main(argv=None) -> int:
                     merge_radius=args.merge_radius,
                     merge_every=max(1, args.merge_every),
                     merge_report=lambda k: print(f"Merged bodies: {k}"),
+                    mass_update=writer_mass_update,
                 )
             bodies = simulate(
                 bodies, n_steps, dt, force,

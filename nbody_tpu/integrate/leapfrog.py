@@ -126,6 +126,7 @@ def simulate(
     merge_radius: float = 0.0,
     merge_every: int = 1,
     merge_report: Optional[Callable[[int], None]] = None,
+    mass_update: Optional[Callable[[np.ndarray], None]] = None,
 ) -> Bodies:
     """Run a full simulation, optionally streaming trajectory frames.
 
@@ -140,7 +141,10 @@ def simulate(
 
     `merge_radius > 0` switches on inelastic merging every `merge_every`
     steps (ops/collisions.py; leapfrog only); `merge_report` receives
-    the total number of absorbed bodies at the end.
+    the total number of absorbed bodies at the end.  `mass_update`
+    (if given) receives the running mass array whenever a chunk merged
+    bodies — with frames on, chunks are capped to merge boundaries so
+    the trajectory's mass column tracks merges exactly.
     """
     merging = merge_radius > 0
     if merging and integrator != "leapfrog":
@@ -165,6 +169,11 @@ def simulate(
         if merging:
             from nbody_tpu.ops.collisions import simulate_merging
 
+            if frame_writer is not None:
+                # land chunks on merge boundaries: each chunk's frames
+                # then share one mass column (merges apply at chunk end)
+                next_m = ((done // merge_every) + 1) * merge_every
+                t = min(t, next_m - done)
             out = simulate_merging(
                 bodies, t, dt, force_fn, radius=merge_radius,
                 merge_every=merge_every, acc0=acc, k0=done,
@@ -175,7 +184,10 @@ def simulate(
                 frame_writer(np.asarray(hist))
             else:
                 bodies, acc, merged = out
-            merged_total += int(merged)
+            merged = int(merged)
+            merged_total += merged
+            if merged and mass_update is not None:
+                mass_update(np.asarray(bodies.mass))
         elif frame_writer is not None:
             bodies, acc, hist = leapfrog_steps(
                 bodies, t, dt, force_fn, acc0=acc, with_history=True,

@@ -906,13 +906,35 @@ def simulate_persistent(
     block_prefix: bool = True,
     robust_slots: int = 0,
     ld: int = 0,
+    merge_radius: float = 0.0,
+    merge_every: int = 1,
+    merge_chunk: int = 512,
+    merge_report=None,
+    mass_update=None,
 ):
     """Run n_steps with periodic resorts; returns (pos, vel) in original
-    order.  `robust_slots > 0` enables the outlier-robust scheme on this
+    order — (pos, vel, mass) when `merge_radius > 0` (merging changes
+    masses).  `robust_slots > 0` enables the outlier-robust scheme on this
     layout (_resort docstring; the grid also deepens to auto_ld + 2,
     max 8, since the sane cube can afford the levels).  `ld` overrides
     the grid depth either way (the robust-mode depth tradeoff is
     data-dependent; --bh-ld help / docs/PERFORMANCE.md).
+
+    `merge_radius > 0` composes inelastic merging (ops/collisions.py)
+    with this layout: every `merge_every` steps the chunk loop lands on
+    a boundary, emits the state to original order (an exact f32
+    permutation), runs merge_pass there — identical index semantics to
+    the unsharded path — and, iff bodies merged, rebuilds the layout
+    from the merged arrays (init_state + prime: masses changed, so the
+    Morton float tables and the KDK acc carry rebuild; absorbed bodies
+    continue as gm = 0 ghosts, the layout's existing pad/outlier
+    convention).  Merge-free boundaries cost one merge_pass and no
+    rebuild, mirroring simulate_merging's nm > 0 force refresh.
+    `merge_report` receives the total number of absorbed bodies at the
+    end; `mass_update` (if given) receives the running mass array after
+    each merging boundary, so frame writers track the mass column.  Reference analog: the reference is strictly collisionless;
+    this matches the one-binary-does-everything ethos of
+    serial/exhaustive.c (no mode exclusions).
     `block_tiers > 1` switches to tiered block time steps
     (kdk_block_steps): n_steps counts MACRO steps of dt, per-group tiers
     reassigned from the acceleration scale at every resort boundary.
@@ -948,6 +970,14 @@ def simulate_persistent(
     block = block_tiers > 1
     if block and softening_sq <= 0:
         raise ValueError("block tiers need softening_sq > 0 (the eps scale)")
+    merging = merge_radius > 0
+    if merging and block:
+        raise ValueError(
+            "merging and block tiers cannot combine (a merge invalidates "
+            "the tier assignment mid-macro-step); pick one"
+        )
+    mass_cur = jnp.asarray(mass, jnp.float32)
+    merged_total = 0
     tiers = None
     order = sizes = None
     if block:
@@ -985,6 +1015,9 @@ def simulate_persistent(
         if progress_every > 0:
             next_prog = ((done // progress_every) + 1) * progress_every
             t = min(t, next_prog - done)
+        if merging:
+            next_merge = ((done // merge_every) + 1) * merge_every
+            t = min(t, next_merge - done)
         if block:
             if block_prefix:
                 if frame_writer is not None:
@@ -1016,6 +1049,26 @@ def simulate_persistent(
         else:
             state = kdk_steps(state, t, dt, **fkw)
         done += t
+        rebuilt = False
+        if merging and done % merge_every == 0:
+            from nbody_tpu.ops.collisions import merge_pass
+
+            p_o, v_o = emit(state, n)
+            p_m, v_m, m_m, nm = merge_pass(
+                p_o, v_o, mass_cur, merge_radius, chunk=merge_chunk
+            )
+            nm = int(nm)  # host sync, once per merge_every steps
+            if nm > 0:
+                merged_total += nm
+                mass_cur = m_m
+                state = init_state(
+                    p_m, v_m, m_m, G=G, group_size=group_size,
+                    robust_slots=robust_slots, ld=ld_over,
+                )
+                state = prime(state, **fkw)
+                rebuilt = True
+                if mass_update is not None:
+                    mass_update(np.asarray(mass_cur))
         if (
             checkpoint_every > 0
             and checkpoint_fn is not None
@@ -1024,7 +1077,7 @@ def simulate_persistent(
             from nbody_tpu.core.types import Bodies
 
             p_c, v_c = emit(state, n)
-            checkpoint_fn(Bodies(p_c, v_c, mass), done)
+            checkpoint_fn(Bodies(p_c, v_c, mass_cur), done)
         if (
             progress_every > 0
             and progress_fn is not None
@@ -1032,8 +1085,9 @@ def simulate_persistent(
         ):
             np.asarray(state.pg[:1, :1, :1])  # fence (real wall time)
             progress_fn(done, "drift-guard: per-step resorts" if guarded else "")
-        if done < n_steps:
+        if done < n_steps and not rebuilt:
             # pure relabeling: acc rides the permutation, no re-prime
+            # (a merge rebuild just laid the layout out fresh — skip)
             state = resort(state, n, group_size,
                            robust_slots=robust_slots, ld=ld_over)
             if block:
@@ -1045,6 +1099,10 @@ def simulate_persistent(
                     order, sizes = tier_order_sizes(tiers, block_tiers)
     p_out, v_out = emit(state, n)
     np.asarray(p_out[:1])  # device fence (see integrate/leapfrog.simulate)
+    if merging:
+        if merge_report is not None:
+            merge_report(merged_total)
+        return p_out, v_out, mass_cur
     return p_out, v_out
 
 

@@ -218,3 +218,92 @@ def test_adaptive_persistent_exact_landing_and_frames():
     # dt_max = 4e-3 with a generous eta: exactly ceil(1e-2/4e-3) = 3 steps
     assert taken == 3
     np.testing.assert_allclose(frames[-1][-1], np.asarray(p_got), atol=1e-6)
+
+
+def _merge_cloud(n, seed=9, pairs=3, gap=5e-4):
+    """Random cloud plus `pairs` engineered contact pairs at distance
+    `gap` (bodies 0..2*pairs-1).  The random cloud's typical nearest-
+    neighbor distance at n <= 500 in [-2, 2]^3 is ~0.1, so a merge
+    radius between gap and ~0.05 makes every merge decision robust to
+    theta-level force differences between paths."""
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(-2, 2, (n, 3))
+    for k in range(pairs):
+        pos[2 * k + 1] = pos[2 * k] + [gap, 0, 0]
+    return (
+        jnp.asarray(pos, jnp.float32),
+        jnp.asarray(rng.uniform(-0.5, 0.5, (n, 3)), jnp.float32),
+        jnp.asarray(rng.uniform(0.04, 1.0, n), jnp.float32),
+    )
+
+
+def test_persistent_merging_matches_unsharded():
+    """Merging composed with the persistent layout (VERDICT r4 item 6)
+    vs ops/collisions.simulate_merging over the fp64-direct force: the
+    engineered contact pairs make merge decisions identical, so masses
+    agree exactly and trajectories to theta-level tolerance."""
+    from nbody_tpu.core.types import Bodies
+    from nbody_tpu.ops.collisions import simulate_merging
+    from nbody_tpu.ops.exhaustive import direct_accelerations
+
+    n = 400
+    pos, vel, mass = _merge_cloud(n)
+    dt = 1e-3
+    steps = 4
+    reports = []
+    p_a, v_a, m_a = simulate_persistent(
+        pos, vel, mass, steps, dt, group_size=128, resort_every=2,
+        interpret=True, merge_radius=0.01, merge_every=2,
+        merge_report=reports.append,
+    )
+    ref, _, nm_ref = simulate_merging(
+        Bodies(pos, vel, mass), steps, dt, direct_accelerations,
+        radius=0.01, merge_every=2,
+    )
+    assert reports == [int(nm_ref)] and reports[0] == 3
+    # identical merge decisions -> identical f32 mass sums
+    np.testing.assert_array_equal(np.asarray(m_a), np.asarray(ref.mass))
+    dp = np.abs(np.asarray(p_a) - np.asarray(ref.pos)).max()
+    dv = np.abs(np.asarray(v_a) - np.asarray(ref.vel)).max()
+    assert dp < 1e-3, dp
+    assert dv < 2e-3, dv
+
+
+def test_persistent_merging_conserves():
+    """Mass exactly, momentum to f32 tolerance, through rebuilds; and
+    the rebuilt layout keeps integrating (merge at step 2 of 6)."""
+    n = 400
+    pos, vel, mass = _merge_cloud(n, seed=11)
+    p, v, m = simulate_persistent(
+        pos, vel, mass, 6, 1e-3, group_size=128, resort_every=3,
+        interpret=True, merge_radius=0.01, merge_every=2,
+    )
+    m_np = np.asarray(m, np.float64)
+    mass_np = np.asarray(mass, np.float64)
+    assert np.sum(m_np == 0.0) == 3  # three absorbed ghosts
+    np.testing.assert_allclose(m_np.sum(), mass_np.sum(), rtol=1e-6)
+    # momentum: merging conserves it exactly; the integrator's forces
+    # are antisymmetric only to f32 rounding
+    p0 = (mass_np[:, None] * np.asarray(vel, np.float64)).sum(axis=0)
+    p1 = (m_np[:, None] * np.asarray(v, np.float64)).sum(axis=0)
+    assert np.abs(p1 - p0).max() < 5e-3, (p0, p1)
+
+
+def test_persistent_merging_robust_mode():
+    """Merging composes with the outlier-robust persistent layout (the
+    rebuild re-derives the outlier slots from the merged masses)."""
+    n = 400
+    pos, vel, mass = _merge_cloud(n, seed=13)
+    # fling two bodies far out so robust mode has real outliers
+    pos = pos.at[-1].set(jnp.asarray([40.0, 0, 0], jnp.float32))
+    pos = pos.at[-2].set(jnp.asarray([0, -35.0, 0], jnp.float32))
+    p, v, m = simulate_persistent(
+        pos, vel, mass, 4, 1e-3, group_size=128, resort_every=2,
+        interpret=True, merge_radius=0.01, merge_every=2,
+        robust_slots=64,
+    )
+    m_np = np.asarray(m, np.float64)
+    assert np.sum(m_np == 0.0) == 3
+    np.testing.assert_allclose(
+        m_np.sum(), np.asarray(mass, np.float64).sum(), rtol=1e-6
+    )

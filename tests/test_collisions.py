@@ -6,6 +6,7 @@ at the merged COM; kinetic energy may only drop (perfectly inelastic).
 """
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from nbody_tpu.core.types import Bodies
@@ -145,3 +146,32 @@ def test_cli_merge_flag(tmp_path):
     )
     assert r.returncode != 0
     assert "unsharded" in r.stderr
+
+
+@pytest.mark.heavy  # interpret-mode fused kernel compile
+def test_cli_merge_with_persistent_layout(tmp_path):
+    """--merge-radius composed with --resort-every (the persistent
+    Morton layout; VERDICT r4 item 6): the run merges, reports, and
+    writes the merged masses to the output CSV."""
+    import subprocess
+    import sys as _sys
+
+    out = tmp_path / "out.csv"
+    r = subprocess.run(
+        [_sys.executable, "-m", "nbody_tpu", "tests/data/10_bodies.csv",
+         "0", "0.002", "0.001", str(out), "--algo", "barnes-hut",
+         "--bh-traversal", "fused", "--bh-group-size", "128",
+         "--resort-every", "2", "--merge-radius", "5.0"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "Merged bodies:" in r.stdout
+    k = int(r.stdout.split("Merged bodies:")[1].split()[0])
+    assert k > 0
+    # trajectory rows are headerless `id,x,y,z,mass`; the last frame's
+    # mass column must reflect the merges (mass_update plumbing)
+    rows = [ln.split(",") for ln in open(out) if ln.strip()]
+    last = rows[-10:]  # 10 bodies per frame
+    assert sum(1 for r_ in last if float(r_[4]) == 0.0) == k
+    first = rows[:10]  # initial frame precedes any merge
+    assert all(float(r_[4]) > 0.0 for r_ in first)
