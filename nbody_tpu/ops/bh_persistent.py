@@ -171,10 +171,12 @@ def _ft_from_state(pg, nid, ld: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "group_size", "robust_slots", "ld")
+    jax.jit,
+    static_argnames=("n", "group_size", "robust_slots", "ld", "with_acc"),
 )
 def _resort(pos_f, vel_f, acc_f, gm_f, orig_f, n: int, group_size: int,
-            robust_slots: int = 0, ld: int | None = None):
+            robust_slots: int = 0, ld: int | None = None,
+            with_acc: bool = True):
     """Full resort from flattened (M,)-shaped candidate arrays (pads carry
     gm = 0 and orig = n) into a fresh GroupState.  Used both for the
     initial build (M = N) and periodic resorts (M = G*B).  acc rides the
@@ -188,7 +190,13 @@ def _resort(pos_f, vel_f, acc_f, gm_f, orig_f, n: int, group_size: int,
     true G*mass stashed in state.out_gm, restored at the next resort),
     and state_forces adds their source contribution back with one exact
     (M, K) rectangle per step.  Exact, static shapes, MAC-sound (every
-    massive body lies inside its nominal cell)."""
+    massive body lies inside its nominal cell).
+
+    with_acc=False skips the acc chain entirely (acc_f is ignored; the
+    output acc is zeros): the initial build has no KDK carry yet, and at
+    100M bodies the all-zero (N, 3) array would otherwise ride the full
+    sort + group gather as ~4 GB of pointless HBM transients — the
+    margin between fitting and OOM on a 16 GB v5e."""
     from nbody_tpu.ops.barneshut import group_bodies
 
     b, ld, sl, g_cap = _layout(n, group_size, ld)
@@ -226,7 +234,7 @@ def _resort(pos_f, vel_f, acc_f, gm_f, orig_f, n: int, group_size: int,
     keys_s = keys[order]
     pos_s = pos_f[order]
     vel_s = vel_f[order]
-    acc_s = acc_f[order]
+    acc_s = acc_f[order] if with_acc else None
     gm_s = gm_f[order]
     orig_s = orig_f[order]
     # real bodies occupy [0, n) exactly: pads all carry the sentinel key
@@ -266,7 +274,11 @@ def _resort(pos_f, vel_f, acc_f, gm_f, orig_f, n: int, group_size: int,
         axis=1,
     )
     vel_g = jnp.transpose(vel_s[group_idx].astype(jnp.float32), (0, 2, 1))
-    acc_g = jnp.transpose(acc_s[group_idx].astype(jnp.float32), (0, 2, 1))
+    acc_g = (
+        jnp.transpose(acc_s[group_idx].astype(jnp.float32), (0, 2, 1))
+        if with_acc
+        else jnp.zeros_like(vel_g)
+    )
     orig_g = jnp.where(group_valid, orig_s[group_idx], n).astype(jnp.int32)
     # No pad sentinel: pads gather their group's last real slot, so their
     # nid continues that cell id and the flattened sequence stays
@@ -360,10 +372,13 @@ def init_state(
     n = pos.shape[0]
     gm = (jnp.asarray(G, jnp.float32) * mass).astype(jnp.float32)
     orig = jnp.arange(n, dtype=jnp.int32)
+    # with_acc=False: no KDK carry exists yet; skipping the acc chain
+    # halves the init sort/gather transients (the 100M OOM margin)
     return _resort(
         pos.astype(jnp.float32), vel.astype(jnp.float32),
-        jnp.zeros((n, 3), jnp.float32), gm, orig,
+        jnp.zeros((1, 3), jnp.float32), gm, orig,
         n=n, group_size=group_size, robust_slots=robust_slots, ld=ld,
+        with_acc=False,
     )
 
 
@@ -431,14 +446,7 @@ def state_forces(
     return acc_g
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "n_steps", "theta", "softening_sq", "leaf_cap", "ld",
-        "burst_rows", "interpret", "with_history",
-    ),
-)
-def kdk_steps(
+def _kdk_steps(
     state: GroupState,
     n_steps: int,
     dt,
@@ -479,6 +487,23 @@ def kdk_steps(
     if with_history:
         return state, hist
     return state
+
+
+_KDK_STATICS = (
+    "n_steps", "theta", "softening_sq", "leaf_cap", "ld",
+    "burst_rows", "interpret", "with_history",
+)
+kdk_steps = functools.partial(jax.jit, static_argnames=_KDK_STATICS)(
+    _kdk_steps
+)
+# Donated twin: aliases the input state's buffers into the output.  At
+# 100M bodies the GroupState is ~6.5 GB; without donation input + output
+# live simultaneously (~13 GB) and the 16 GB v5e OOMs.  Callers must
+# not touch the argument after the call — the undonated kdk_steps stays
+# the default for A/B tools and tests that re-step the same state.
+kdk_steps_donated = functools.partial(
+    jax.jit, static_argnames=_KDK_STATICS, donate_argnums=(0,)
+)(_kdk_steps)
 
 
 @functools.partial(
@@ -999,6 +1024,10 @@ def simulate_persistent(
         buf[:, dest[keep]] = h.reshape(h.shape[0], -1, 3)[:, keep]
         frame_writer(buf)
 
+    # donate the state on real hardware (the loop never reuses the old
+    # one); interpret/CPU runs keep the plain path — XLA:CPU ignores
+    # donation and some tools re-step the same state
+    stepper = kdk_steps if interpret else kdk_steps_donated
     done = 0
     while done < n_steps:
         t = min(resort_every, n_steps - done)
@@ -1042,12 +1071,12 @@ def simulate_persistent(
                     state, tiers, t, dt, n_tiers=block_tiers, **fkw
                 )
         elif frame_writer is not None:
-            state, hist = kdk_steps(
+            state, hist = stepper(
                 state, t, dt, with_history=True, **fkw
             )
             flush_frames(state, hist)
         else:
-            state = kdk_steps(state, t, dt, **fkw)
+            state = stepper(state, t, dt, **fkw)
         done += t
         rebuilt = False
         if merging and done % merge_every == 0:

@@ -132,8 +132,12 @@ def _persistent_bench(n: int, steps: int, on_tpu: bool) -> None:
     import jax.numpy as jnp
 
     from nbody_tpu.ops.bh_persistent import (
-        _layout, init_state, kdk_steps, prime,
+        _layout, init_state, kdk_steps, kdk_steps_donated, prime,
     )
+
+    # donation halves the ~2x GroupState residency (the 100M margin on
+    # a 16 GB v5e); the run loop never touches the old state
+    stepper = kdk_steps_donated if on_tpu else kdk_steps
 
     rng = np.random.default_rng(0)
     pos = jnp.asarray(rng.uniform(-2.0, 2.0, (n, 3)), jnp.float32)
@@ -157,7 +161,7 @@ def _persistent_bench(n: int, steps: int, on_tpu: bool) -> None:
 
     def run(st):
         for _ in range(k // scan_k):
-            st = kdk_steps(st, scan_k, 1e-4, **fkw)
+            st = stepper(st, scan_k, 1e-4, **fkw)
             if per_step:
                 np.asarray(st.acc[:1, :1])
         np.asarray(st.acc[:1, :1])
