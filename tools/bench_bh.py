@@ -139,10 +139,27 @@ def _persistent_bench(n: int, steps: int, on_tpu: bool) -> None:
     # a 16 GB v5e); the run loop never touches the old state
     stepper = kdk_steps_donated if on_tpu else kdk_steps
 
-    rng = np.random.default_rng(0)
-    pos = jnp.asarray(rng.uniform(-2.0, 2.0, (n, 3)), jnp.float32)
-    vel = jnp.asarray(rng.uniform(-1.0, 1.0, (n, 3)), jnp.float32)
-    mass = jnp.asarray(rng.uniform(0.04, 1.0, n), jnp.float32)
+    if n > 20_000_000 and on_tpu:
+        # device-side fixture: host-generating 100M bodies and pushing
+        # ~3.5 GB through the tunneled chip costs ~10+ min; an on-chip
+        # jax.random cloud is deterministic (fixed key) and instant
+        import jax
+
+        k0, k1, k2 = jax.random.split(jax.random.PRNGKey(0), 3)
+        pos = jax.random.uniform(
+            k0, (n, 3), jnp.float32, minval=-2.0, maxval=2.0
+        )
+        vel = jax.random.uniform(
+            k1, (n, 3), jnp.float32, minval=-1.0, maxval=1.0
+        )
+        mass = jax.random.uniform(
+            k2, (n,), jnp.float32, minval=0.04, maxval=1.0
+        )
+    else:
+        rng = np.random.default_rng(0)
+        pos = jnp.asarray(rng.uniform(-2.0, 2.0, (n, 3)), jnp.float32)
+        vel = jnp.asarray(rng.uniform(-1.0, 1.0, (n, 3)), jnp.float32)
+        mass = jnp.asarray(rng.uniform(0.04, 1.0, n), jnp.float32)
     ld_arg = 0
     for i, a in enumerate(sys.argv[1:-1]):
         if a == "--ld":
@@ -150,7 +167,10 @@ def _persistent_bench(n: int, steps: int, on_tpu: bool) -> None:
     _, ld, _, _ = _layout(n, 1024, ld=ld_arg or None)
     fkw = dict(theta=0.5, softening_sq=0.01, leaf_cap=64, ld=ld,
                interpret=not on_tpu)
-    st = init_state(pos, vel, mass, group_size=1024)
+    # the ld override MUST also shape the state: the int tables (it/nid)
+    # are depth-dependent, and a kernel traversing deeper than the state
+    # was built for reads past the octet table (device crash at 100M)
+    st = init_state(pos, vel, mass, group_size=1024, ld=ld_arg or None)
     st = prime(st, **fkw)
     k = max(steps, 3)
     # Beyond ~20M bodies a k-step scan is one device program over the
