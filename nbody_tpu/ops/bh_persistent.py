@@ -506,6 +506,119 @@ kdk_steps_donated = functools.partial(
 )(_kdk_steps)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _kick_drift(state: GroupState, dt):
+    """First KDK half: vel += acc*dt/2; pos += vel*dt (donated)."""
+    half = jnp.asarray(dt, jnp.float32) * 0.5
+    vel = state.vel + state.acc * half
+    pg = state.pg.at[:, :3, :].add(vel * jnp.asarray(dt, jnp.float32))
+    return state._replace(pg=pg, vel=vel)
+
+
+@functools.partial(jax.jit, static_argnames=("ld",))
+def _ft_and_ps(pg, nid, ld: int):
+    """Per-step tree float tables + the planar (4, G*B) source array,
+    computed ONCE per step and shared by every force-slice dispatch."""
+    g, _, b = pg.shape
+    return _ft_from_state(pg, nid, ld), jnp.transpose(
+        pg, (1, 0, 2)
+    ).reshape(4, g * b)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "p", "theta", "softening_sq", "leaf_cap", "ld", "burst_rows",
+        "interpret",
+    ),
+)
+def _slice_forces(
+    gcount, pg, it, bsq, ft, ps, lo, *, p: int, theta, softening_sq,
+    leaf_cap, ld, burst_rows=16, interpret=False,
+):
+    """Forces for the `p` contiguous groups starting at (clamped,
+    traced) row `lo` — one bounded device program; sources full-layout."""
+    lo = lo.astype(jnp.int32)
+    z = jnp.int32(0)
+    pg_c = lax.dynamic_slice(pg, (lo, z, z), (p, 4, pg.shape[2]))
+    gc_c = lax.dynamic_slice(gcount, (lo,), (p,))
+    acc_c, _stats = fused_group_forces(
+        gc_c, pg_c, ft, it, ps, bsq, aux_octet_offsets(),
+        theta=theta, eps2=softening_sq, leaf_cap=leaf_cap, ld=ld,
+        burst_rows=burst_rows, interpret=interpret,
+    )
+    return acc_c
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _acc_update(acc_full, part, lo):
+    z = jnp.int32(0)
+    return lax.dynamic_update_slice(
+        acc_full, part, (lo.astype(jnp.int32), z, z)
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _second_kick(state: GroupState, acc, dt):
+    half = jnp.asarray(dt, jnp.float32) * 0.5
+    return state._replace(vel=state.vel + acc * half, acc=acc)
+
+
+def kdk_steps_chunked(
+    state: GroupState,
+    n_steps: int,
+    dt,
+    *,
+    n_chunks: int,
+    theta: float,
+    softening_sq: float,
+    leaf_cap: int,
+    ld: int,
+    burst_rows: int = 16,
+    interpret: bool = False,
+):
+    """Watchdog-safe KDK for huge N: the same math as kdk_steps, but
+    each force eval runs as `n_chunks` separate device programs over
+    contiguous group slices (the tunneled chip's execution watchdog
+    kills single programs past ~90 s, and a 100M-body eval measured
+    ~210 s in one program — CLAUDE.md).  Host loop per step; the
+    ~27 ms/dispatch overhead is noise at multi-second chunk times.  One
+    compiled slice program serves every chunk (traced `lo`,
+    clamp-overlap assembly: the last slice may re-evaluate a few groups
+    already written — dynamic_update_slice clamps identically, so the
+    duplicates overwrite with equal values).  No history variant (a
+    100M-body frame is ~1.2 GB); robust mode unsupported (the exact
+    outlier rectangle is quadratic-in-K at this scale)."""
+    if state.out_gm is not None:
+        raise ValueError(
+            "chunked stepping does not support robust mode (the outlier "
+            "rectangle is already a full-layout term); run unchunked or "
+            "without --bh-robust"
+        )
+    g = state.pg.shape[0]
+    # ceil split; fused_group_forces pads any p to its gpp internally
+    p = min(g, -(-g // max(1, int(n_chunks))))
+    fkw = dict(
+        p=p, theta=theta, softening_sq=softening_sq, leaf_cap=leaf_cap,
+        ld=ld, burst_rows=burst_rows, interpret=interpret,
+    )
+    for _ in range(int(n_steps)):
+        state = _kick_drift(state, dt)
+        ft, ps = _ft_and_ps(state.pg, state.nid, ld)
+        acc = jnp.zeros_like(state.acc)
+        lo = 0
+        while lo < g:
+            lo_c = jnp.int32(min(lo, g - p))
+            part = _slice_forces(
+                state.gcount, state.pg, state.it, state.bsq, ft, ps,
+                lo_c, **fkw,
+            )
+            acc = _acc_update(acc, part, lo_c)
+            lo += p
+        state = _second_kick(state, acc, dt)
+    return state
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

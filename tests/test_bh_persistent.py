@@ -307,3 +307,24 @@ def test_persistent_merging_robust_mode():
     np.testing.assert_allclose(
         m_np.sum(), np.asarray(mass, np.float64).sum(), rtol=1e-6
     )
+
+
+def test_chunked_steps_match_kdk():
+    """kdk_steps_chunked (the watchdog-safe huge-N stepper) must match
+    the monolithic kdk_steps: per-group results are independent, so
+    slicing the target side cannot change them."""
+    from nbody_tpu.ops.bh_persistent import kdk_steps_chunked
+
+    n = 400
+    pos, vel, mass = _cloud(n, seed=21)
+    fkw = _fkw(n)
+    st0 = init_state(pos, vel, mass, G=G, group_size=128)
+    st0 = prime(st0, **fkw)
+    a = kdk_steps(st0, 2, 1e-3, **fkw)
+    b = kdk_steps_chunked(st0, 2, 1e-3, n_chunks=3, **fkw)
+    np.testing.assert_allclose(
+        np.asarray(a.pg), np.asarray(b.pg), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.vel), np.asarray(b.vel), atol=1e-6
+    )

@@ -132,7 +132,8 @@ def _persistent_bench(n: int, steps: int, on_tpu: bool) -> None:
     import jax.numpy as jnp
 
     from nbody_tpu.ops.bh_persistent import (
-        _layout, init_state, kdk_steps, kdk_steps_donated, prime,
+        _layout, init_state, kdk_steps, kdk_steps_chunked,
+        kdk_steps_donated, prime,
     )
 
     # donation halves the ~2x GroupState residency (the 100M margin on
@@ -173,17 +174,21 @@ def _persistent_bench(n: int, steps: int, on_tpu: bool) -> None:
     st = init_state(pos, vel, mass, group_size=1024, ld=ld_arg or None)
     st = prime(st, **fkw)
     k = max(steps, 3)
-    # Beyond ~20M bodies a k-step scan is one device program over the
-    # watchdog's ~90 s ceiling (CLAUDE.md) — dispatch per step instead;
-    # the ~27 ms host round trip per step is noise at multi-second steps.
+    # Beyond ~20M bodies even a SINGLE step is one device program past
+    # the ~90 s execution watchdog (a 100M eval measured ~210 s in one
+    # program; the worker crashed mid-bench) — run the chunked stepper
+    # instead: each force eval is ceil(n/25M) bounded slice programs.
     per_step = n > 20_000_000
-    scan_k = 1 if per_step else k
+    n_chunks = max(1, -(-n // 25_000_000))
 
     def run(st):
-        for _ in range(k // scan_k):
-            st = stepper(st, scan_k, 1e-4, **fkw)
-            if per_step:
+        if per_step:
+            for _ in range(k):
+                st = kdk_steps_chunked(st, 1, 1e-4, n_chunks=n_chunks,
+                                       **fkw)
                 np.asarray(st.acc[:1, :1])
+        else:
+            st = stepper(st, k, 1e-4, **fkw)
         np.asarray(st.acc[:1, :1])
         return st
 
