@@ -1103,27 +1103,33 @@ def main(argv=None) -> int:
                     merge_report=lambda k: print(f"Merged bodies: {k}"),
                     mass_update=writer_mass_update,
                 )
-            out = simulate_persistent(
-                bodies.pos, bodies.vel, bodies.mass, n_steps, dt,
-                G=args.G, softening_sq=args.softening2, theta=args.theta,
-                resort_every=args.resort_every,
-                interpret=_jax.default_backend() == "cpu",
-                frame_writer=writer,
-                checkpoint_every=args.checkpoint_every,
-                checkpoint_fn=checkpoint_fn,
-                progress_every=args.progress,
-                progress_fn=progress_fn,
-                block_tiers=max(1, args.block_tiers),
-                block_eta=args.block_eta,
-                block_prefix=args.block_prefix,
-                robust_slots=(
-                    max(128, bodies.n // 512) if args.bh_robust else 0
-                ),
-                ld=args.bh_ld,
-                **merge_kw,
-                **{k: v for k, v in bh_kw.items()
-                   if k in ("group_size", "leaf_cap")},
-            )
+            try:
+                out = simulate_persistent(
+                    bodies.pos, bodies.vel, bodies.mass, n_steps, dt,
+                    G=args.G, softening_sq=args.softening2,
+                    theta=args.theta,
+                    resort_every=args.resort_every,
+                    interpret=_jax.default_backend() == "cpu",
+                    frame_writer=writer,
+                    checkpoint_every=args.checkpoint_every,
+                    checkpoint_fn=checkpoint_fn,
+                    progress_every=args.progress,
+                    progress_fn=progress_fn,
+                    block_tiers=max(1, args.block_tiers),
+                    block_eta=args.block_eta,
+                    block_prefix=args.block_prefix,
+                    robust_slots=(
+                        max(128, bodies.n // 512) if args.bh_robust else 0
+                    ),
+                    ld=args.bh_ld,
+                    **merge_kw,
+                    **{k: v for k, v in bh_kw.items()
+                       if k in ("group_size", "leaf_cap")},
+                )
+            except ValueError as e:
+                # chunked-step scale guards (frames/robust/tiers >25M)
+                print(f"error: {e}", file=sys.stderr)
+                return 2
             if args.merge_radius > 0:
                 p_out, v_out, m_out = out
                 mass_out = m_out.astype(bodies.mass.dtype)

@@ -1049,6 +1049,7 @@ def simulate_persistent(
     merge_chunk: int = 512,
     merge_report=None,
     mass_update=None,
+    force_chunks="auto",
 ):
     """Run n_steps with periodic resorts; returns (pos, vel) in original
     order — (pos, vel, mass) when `merge_radius > 0` (merging changes
@@ -1141,6 +1142,31 @@ def simulate_persistent(
     # one); interpret/CPU runs keep the plain path — XLA:CPU ignores
     # donation and some tools re-step the same state
     stepper = kdk_steps if interpret else kdk_steps_donated
+    # force_chunks="auto": above ~25M bodies a single-program step blows
+    # the device execution watchdog (~90 s; a 100M eval measured ~210 s)
+    # — switch to kdk_steps_chunked's bounded slice programs.  Frames
+    # need per-step history, which the chunked stepper does not carry.
+    if force_chunks == "auto":
+        force_chunks = 1 if interpret else max(1, -(-n // 25_000_000))
+    force_chunks = max(1, int(force_chunks))
+    if force_chunks > 1:
+        if frame_writer is not None:
+            raise ValueError(
+                "trajectory frames are unsupported at chunked-step scale "
+                "(>25M bodies); rerun with --no-output or --write-every 0"
+            )
+        if robust_slots > 0:
+            raise ValueError(
+                "robust mode is unsupported at chunked-step scale: the "
+                "exact outlier rectangle is already quadratic there"
+            )
+        if block:
+            raise ValueError(
+                "block tiers are unsupported at chunked-step scale"
+            )
+        stepper = functools.partial(
+            kdk_steps_chunked, n_chunks=force_chunks
+        )
     done = 0
     while done < n_steps:
         t = min(resort_every, n_steps - done)

@@ -328,3 +328,22 @@ def test_chunked_steps_match_kdk():
     np.testing.assert_allclose(
         np.asarray(a.vel), np.asarray(b.vel), atol=1e-6
     )
+
+
+def test_simulate_persistent_force_chunks():
+    """force_chunks > 1 (the >25M auto path) must reproduce the
+    unchunked trajectory, across a resort boundary."""
+    n = 400
+    pos, vel, mass = _cloud(n, seed=23)
+    a = simulate_persistent(
+        pos, vel, mass, 4, 1e-3, group_size=128, resort_every=2,
+        interpret=True,
+    )
+    b = simulate_persistent(
+        pos, vel, mass, 4, 1e-3, group_size=128, resort_every=2,
+        interpret=True, force_chunks=2,
+    )
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]),
+                               atol=1e-6)
