@@ -516,13 +516,13 @@ def _kick_drift(state: GroupState, dt):
 
 
 @functools.partial(jax.jit, static_argnames=("ld",))
-def _ft_and_ps(pg, nid, ld: int):
-    """Per-step tree float tables + the planar (4, G*B) source array,
-    computed ONCE per step and shared by every force-slice dispatch."""
-    g, _, b = pg.shape
-    return _ft_from_state(pg, nid, ld), jnp.transpose(
-        pg, (1, 0, 2)
-    ).reshape(4, g * b)
+def _ft_only(pg, nid, ld: int):
+    """Per-step tree float tables, computed ONCE per step and shared by
+    every force-slice dispatch.  The planar ps source is rebuilt inside
+    each slice program instead: holding a (4, G*B) copy across the
+    chunk loop costs 2.14 GB of residency at 100M (the OOM margin),
+    while re-transposing per chunk is a ~ms-scale transient."""
+    return _ft_from_state(pg, nid, ld)
 
 
 @functools.partial(
@@ -533,11 +533,13 @@ def _ft_and_ps(pg, nid, ld: int):
     ),
 )
 def _slice_forces(
-    gcount, pg, it, bsq, ft, ps, lo, *, p: int, theta, softening_sq,
+    gcount, pg, it, bsq, ft, lo, *, p: int, theta, softening_sq,
     leaf_cap, ld, burst_rows=16, interpret=False,
 ):
     """Forces for the `p` contiguous groups starting at (clamped,
     traced) row `lo` — one bounded device program; sources full-layout."""
+    g, _, b = pg.shape
+    ps = jnp.transpose(pg, (1, 0, 2)).reshape(4, g * b)
     lo = lo.astype(jnp.int32)
     z = jnp.int32(0)
     pg_c = lax.dynamic_slice(pg, (lo, z, z), (p, 4, pg.shape[2]))
@@ -562,6 +564,42 @@ def _acc_update(acc_full, part, lo):
 def _second_kick(state: GroupState, acc, dt):
     half = jnp.asarray(dt, jnp.float32) * 0.5
     return state._replace(vel=state.vel + acc * half, acc=acc)
+
+
+def prime_chunked(
+    state: GroupState,
+    *,
+    n_chunks: int,
+    theta: float,
+    softening_sq: float,
+    leaf_cap: int,
+    ld: int,
+    burst_rows: int = 16,
+    interpret: bool = False,
+):
+    """prime() in bounded slice programs (same compiled program as
+    kdk_steps_chunked's force slices): at 100M a monolithic full eval
+    is a ~206 s device program, watchdog roulette on the tunneled
+    chip."""
+    if state.out_gm is not None:
+        raise ValueError("chunked priming does not support robust mode")
+    g = state.pg.shape[0]
+    p = min(g, -(-g // max(1, int(n_chunks))))
+    fkw = dict(
+        p=p, theta=theta, softening_sq=softening_sq, leaf_cap=leaf_cap,
+        ld=ld, burst_rows=burst_rows, interpret=interpret,
+    )
+    ft = _ft_only(state.pg, state.nid, ld)
+    acc = jnp.zeros_like(state.acc)
+    lo = 0
+    while lo < g:
+        lo_c = jnp.int32(min(lo, g - p))
+        part = _slice_forces(
+            state.gcount, state.pg, state.it, state.bsq, ft, lo_c, **fkw
+        )
+        acc = _acc_update(acc, part, lo_c)
+        lo += p
+    return state._replace(acc=acc)
 
 
 def kdk_steps_chunked(
@@ -604,13 +642,13 @@ def kdk_steps_chunked(
     )
     for _ in range(int(n_steps)):
         state = _kick_drift(state, dt)
-        ft, ps = _ft_and_ps(state.pg, state.nid, ld)
+        ft = _ft_only(state.pg, state.nid, ld)
         acc = jnp.zeros_like(state.acc)
         lo = 0
         while lo < g:
             lo_c = jnp.int32(min(lo, g - p))
             part = _slice_forces(
-                state.gcount, state.pg, state.it, state.bsq, ft, ps,
+                state.gcount, state.pg, state.it, state.bsq, ft,
                 lo_c, **fkw,
             )
             acc = _acc_update(acc, part, lo_c)
@@ -1103,12 +1141,38 @@ def simulate_persistent(
         theta=theta, softening_sq=softening_sq, leaf_cap=leaf_cap,
         ld=ld, interpret=interpret,
     )
-    state = init_state(pos, vel, mass, G=G, group_size=group_size,
-                       robust_slots=robust_slots, ld=ld_over)
-    state = prime(state, **fkw)
     block = block_tiers > 1
     if block and softening_sq <= 0:
         raise ValueError("block tiers need softening_sq > 0 (the eps scale)")
+    # force_chunks="auto": above ~25M bodies a single-program step (or
+    # prime) blows the device execution watchdog (~90 s; a 100M eval
+    # measured ~210 s in one program) — switch to bounded slice
+    # programs.  Frames need per-step history, which the chunked
+    # stepper does not carry.
+    if force_chunks == "auto":
+        force_chunks = 1 if interpret else max(1, -(-n // 25_000_000))
+    force_chunks = max(1, int(force_chunks))
+    if force_chunks > 1:
+        if frame_writer is not None:
+            raise ValueError(
+                "trajectory frames are unsupported at chunked-step scale "
+                "(>25M bodies); rerun with --no-output or --write-every 0"
+            )
+        if robust_slots > 0:
+            raise ValueError(
+                "robust mode is unsupported at chunked-step scale: the "
+                "exact outlier rectangle is already quadratic there"
+            )
+        if block:
+            raise ValueError(
+                "block tiers are unsupported at chunked-step scale"
+            )
+    state = init_state(pos, vel, mass, G=G, group_size=group_size,
+                       robust_slots=robust_slots, ld=ld_over)
+    if force_chunks > 1:
+        state = prime_chunked(state, n_chunks=force_chunks, **fkw)
+    else:
+        state = prime(state, **fkw)
     merging = merge_radius > 0
     if merging and block:
         raise ValueError(
@@ -1142,28 +1206,7 @@ def simulate_persistent(
     # one); interpret/CPU runs keep the plain path — XLA:CPU ignores
     # donation and some tools re-step the same state
     stepper = kdk_steps if interpret else kdk_steps_donated
-    # force_chunks="auto": above ~25M bodies a single-program step blows
-    # the device execution watchdog (~90 s; a 100M eval measured ~210 s)
-    # — switch to kdk_steps_chunked's bounded slice programs.  Frames
-    # need per-step history, which the chunked stepper does not carry.
-    if force_chunks == "auto":
-        force_chunks = 1 if interpret else max(1, -(-n // 25_000_000))
-    force_chunks = max(1, int(force_chunks))
     if force_chunks > 1:
-        if frame_writer is not None:
-            raise ValueError(
-                "trajectory frames are unsupported at chunked-step scale "
-                "(>25M bodies); rerun with --no-output or --write-every 0"
-            )
-        if robust_slots > 0:
-            raise ValueError(
-                "robust mode is unsupported at chunked-step scale: the "
-                "exact outlier rectangle is already quadratic there"
-            )
-        if block:
-            raise ValueError(
-                "block tiers are unsupported at chunked-step scale"
-            )
         stepper = functools.partial(
             kdk_steps_chunked, n_chunks=force_chunks
         )

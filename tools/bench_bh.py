@@ -133,7 +133,7 @@ def _persistent_bench(n: int, steps: int, on_tpu: bool) -> None:
 
     from nbody_tpu.ops.bh_persistent import (
         _layout, init_state, kdk_steps, kdk_steps_chunked,
-        kdk_steps_donated, prime,
+        kdk_steps_donated, prime, prime_chunked,
     )
 
     # donation halves the ~2x GroupState residency (the 100M margin on
@@ -172,14 +172,18 @@ def _persistent_bench(n: int, steps: int, on_tpu: bool) -> None:
     # are depth-dependent, and a kernel traversing deeper than the state
     # was built for reads past the octet table (device crash at 100M)
     st = init_state(pos, vel, mass, group_size=1024, ld=ld_arg or None)
-    st = prime(st, **fkw)
+    del pos, vel, mass  # 2.8 GB of device fixture: dead weight vs HBM
     k = max(steps, 3)
-    # Beyond ~20M bodies even a SINGLE step is one device program past
-    # the ~90 s execution watchdog (a 100M eval measured ~210 s in one
-    # program; the worker crashed mid-bench) — run the chunked stepper
-    # instead: each force eval is ceil(n/25M) bounded slice programs.
+    # Beyond ~20M bodies even a SINGLE step (or prime) is one device
+    # program past the ~90 s execution watchdog (a 100M eval measured
+    # ~210 s in one program; the worker crashed mid-bench) — run the
+    # chunked stepper: each force eval is ceil(n/25M) bounded programs.
     per_step = n > 20_000_000
     n_chunks = max(1, -(-n // 25_000_000))
+    if per_step:
+        st = prime_chunked(st, n_chunks=n_chunks, **fkw)
+    else:
+        st = prime(st, **fkw)
 
     def run(st):
         if per_step:
