@@ -179,6 +179,8 @@ def _fused_kernel(
     gnct,  # VMEM (128, 8) i32 — near-masked child body counts
     fidv,  # VMEM (1, 128) i32 — frontier ids (vector copy for q/e math)
     bvm,  # VMEM (1, 128) i32 — classify bits staging (DMA source)
+    fvs,  # VMEM (8, C, 128) f32 — vectorized far-staging rows (child-
+    # major compacted chunk: row j = child j of the chunk's far octets)
     gsemf,  # DMA sems (128,) — chunk ft-row gathers
     gsemf2,  # DMA sems (128,) — df ftl-row gathers
     gsemi,  # DMA sems (128,) — chunk it-row gathers
@@ -197,6 +199,7 @@ def _fused_kernel(
     eps2_lo: float = 0.0,
     interpret_gather: bool = False,
     debug_mode: str = "full",
+    far_vector: bool = True,
 ):
     # debug_mode bisects the kernel's serial cost centers on hardware
     # (tools/profile_fused_stages.py): "pops" = DFS+classify only,
@@ -722,10 +725,7 @@ def _fused_kernel(
                                 axis=(1, 2),
                             )
                         )
-                        gcx[...] = cx8
-                        gcy[...] = cy8
-                        gcz[...] = cz8
-                        gfgm[...] = jnp.where(far8, gm8, 0.0)
+                        gm8f = jnp.where(far8, gm8, 0.0)
                         if df:
                             def sel4l(off):
                                 r = gftl[:, 96 + off : 104 + off]
@@ -737,12 +737,140 @@ def _fused_kernel(
                                     )
                                 return r
 
-                            gcxl[...] = sel4l(0)
-                            gcyl[...] = sel4l(8)
-                            gczl[...] = sel4l(16)
-                            gfgml[...] = jnp.where(far8, sel4l(24), 0.0)
+                            cxl8 = sel4l(0)
+                            cyl8 = sel4l(8)
+                            czl8 = sel4l(16)
+                            gml8f = jnp.where(far8, sel4l(24), 0.0)
+                        if not far_vector:
+                            # scalar-staging path keeps the classify values
+                            # in VMEM scratch for sp_loop's dynamic-sublane
+                            # reads
+                            gcx[...] = cx8
+                            gcy[...] = cy8
+                            gcz[...] = cz8
+                            gfgm[...] = gm8f
+                            if df:
+                                gcxl[...] = cxl8
+                                gcyl[...] = cyl8
+                                gczl[...] = czl8
+                                gfgml[...] = gml8f
                         gst[...] = st8
                         gnct[...] = jnp.where(near8, ct8, 0)
+
+                        if far_vector and do_stage_far:
+                            # ---- vectorized far staging (round 5) ----
+                            # The round-4 split bisect priced the per-octet
+                            # scalar far branch at ~34 ms of the 1M step —
+                            # scalar-issue volume, not vector work (the
+                            # round-3 pop-loop lesson).  Sources are an
+                            # unordered bag, so compact the chunk's far
+                            # octets with an MXU one-hot matmul instead:
+                            #   dest[i] = (#far octets at or before i) - 1
+                            #   W[s, i] = [dest[i] == s and octet i far]
+                            #   comp    = W @ [cx8 | cy8 | cz8 | gm8f]
+                            # Each comp row has exactly ONE contributing
+                            # term, so even the 6-pass f32 matmul
+                            # (Precision.HIGHEST) reproduces the f32 values
+                            # exactly.  Transposing each (128, 8) channel
+                            # block to (8, 128) turns child j of every far
+                            # octet into lane s of row j — 8 source rows
+                            # per chunk, each with live segment [0, kf),
+                            # handed to the same pack machinery as near
+                            # windows.  Scalar work drops from ~k_far
+                            # branchy iterations to 8 row emissions.
+                            fany = jnp.sum(
+                                far8.astype(jnp.int32), axis=1, keepdims=True
+                            ) > 0  # (128, 1) octet has >= 1 far child
+                            faf = fany.astype(jnp.float32)
+                            r128 = lax.broadcasted_iota(
+                                jnp.int32, (128, 128), 0
+                            )
+                            c128 = lax.broadcasted_iota(
+                                jnp.int32, (128, 128), 1
+                            )
+                            ltri = (c128 <= r128).astype(jnp.float32)
+                            # inclusive cumsum over octets: counts <= 128
+                            # are exact in any matmul precision
+                            cum8 = lax.dot_general(
+                                ltri, pltpu.repeat(faf, 8, axis=1),
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )  # (128, 8), all columns equal
+                            dest = jnp.transpose(cum8[:, 0:1]) - 1.0
+                            W = (
+                                (r128.astype(jnp.float32) == dest)
+                                & (jnp.transpose(faf) > 0)
+                            ).astype(jnp.float32)
+                            # the contraction runs over ALL 128 columns:
+                            # rows >= k_here hold stale (possibly NaN)
+                            # gathered-scratch values, and 0 * NaN = NaN
+                            # poisons every compacted row — zero them
+                            # (the scalar path never read them; gm8f is
+                            # already far8-masked)
+                            if df:
+                                chans8 = (cx8, cxl8, cy8, cyl8,
+                                          cz8, czl8, gm8f, gml8f)
+                            else:
+                                chans8 = (cx8, cy8, cz8, gm8f)
+                            chans8 = tuple(
+                                jnp.where(valid, c, 0.0) for c in chans8
+                            )
+                            comp = lax.dot_general(
+                                W, jnp.concatenate(chans8, axis=1),
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=lax.Precision.HIGHEST,
+                            )  # (128, 8 * C)
+                            tch = [
+                                jnp.transpose(comp[:, 8 * c : 8 * c + 8])
+                                for c in range(len(chans8))
+                            ]  # C x (8, 128)
+                            # Stage the 8 rows into scratch BEFORE any
+                            # alloc_row/burst call site: the eval loop is
+                            # instantiated inside burst(), and tracing it
+                            # where the (128,128) matmul temps are live
+                            # wrecked its schedule (+108 ms of eval at 1M
+                            # with identical eval_rows receipts).  The
+                            # stores end the temps' live ranges; emission
+                            # below touches only the scratch ref + one
+                            # scalar.
+                            for j in range(8):
+                                fvs[j] = jnp.concatenate(
+                                    [t[j : j + 1, :] for t in tch], axis=0
+                                )
+                            kf = jnp.squeeze(
+                                jnp.sum(
+                                    fany.astype(jnp.int32)[jnp.newaxis, ...],
+                                    axis=(1, 2),
+                                )
+                            )
+
+                            @pl.when(kf > 0)
+                            def _():
+                                st[TSRC] = st[TSRC] + 8 * kf
+                                # ONE burst call site, then bare row
+                                # appends in a dynamic loop: a static
+                                # 8-way alloc_row unroll instantiated
+                                # the entire eval pipeline 8x in this
+                                # trace (burst -> eval_pk -> chains) and
+                                # cost +110 ms of eval at 1M with
+                                # identical eval_rows
+                                assert rb >= 8, "burst_rows must be >= 8"
+
+                                @pl.when(st[ROWS] + 8 > rb)
+                                def _():
+                                    burst()
+
+                                def emit(j, _):
+                                    row = st[ROWS]
+                                    st[ROWS] = row + 1
+                                    src[row] = fvs[j]
+                                    rowmeta[row, 0] = 0
+                                    rowmeta[row, 1] = 0
+                                    rowmeta[row, 2] = kf
+                                    return 0
+
+                                lax.fori_loop(0, 8, emit, 0)
                         bits128 = jnp.sum(
                             jnp.where(far8, jnp.int32(1) << l8r, 0)
                             + jnp.where(open8, jnp.int32(1) << (l8r + 8), 0)
@@ -766,31 +894,34 @@ def _fused_kernel(
                             if True:  # dynamic trip count (see gather loop)
                                 bits = bsm[0, i]
 
-                                @pl.when(((bits & 0xFF) > 0) & do_stage_far)
-                                def _():  # -- far COMs --
-                                    nsrc = st[NSRC]
-                                    m = (lanes >> 3) == ((nsrc >> 3) & 15)
-                                    if df:
-                                        chans = (
-                                            gcx, gcxl, gcy, gcyl,
-                                            gcz, gczl, gfgm, gfgml,
-                                        )
-                                    else:
-                                        chans = (gcx, gcy, gcz, gfgm)
-                                    for c, arr in enumerate(chans):
-                                        srcacc[c : c + 1, :] = jnp.where(
-                                            m,
-                                            pltpu.repeat(
-                                                arr[pl.ds(i, 1), :], 16, axis=1
-                                            ),
-                                            srcacc[c : c + 1, :],
-                                        )
-                                    st[NSRC] = nsrc + 8
-                                    st[TSRC] = st[TSRC] + 8
+                                if not far_vector:
+                                    @pl.when(((bits & 0xFF) > 0)
+                                             & do_stage_far)
+                                    def _():  # -- far COMs --
+                                        nsrc = st[NSRC]
+                                        m = (lanes >> 3) == ((nsrc >> 3) & 15)
+                                        if df:
+                                            chans = (
+                                                gcx, gcxl, gcy, gcyl,
+                                                gcz, gczl, gfgm, gfgml,
+                                            )
+                                        else:
+                                            chans = (gcx, gcy, gcz, gfgm)
+                                        for c, arr in enumerate(chans):
+                                            srcacc[c : c + 1, :] = jnp.where(
+                                                m,
+                                                pltpu.repeat(
+                                                    arr[pl.ds(i, 1), :],
+                                                    16, axis=1,
+                                                ),
+                                                srcacc[c : c + 1, :],
+                                            )
+                                        st[NSRC] = nsrc + 8
+                                        st[TSRC] = st[TSRC] + 8
 
-                                    @pl.when(((nsrc + 8) & 127) == 0)
-                                    def _():
-                                        flush_com_row()
+                                        @pl.when(((nsrc + 8) & 127) == 0)
+                                        def _():
+                                            flush_com_row()
 
                                 @pl.when(((bits >> 16) > 0) & do_stage_near)
                                 def _():  # -- near ranges --
@@ -857,9 +988,10 @@ def _fused_kernel(
                 st[PEND_S] = 0
                 st[PEND_E] = 0
 
-                @pl.when((st[NSRC] & 127) != 0)
-                def _():
-                    flush_com_row()
+                if not far_vector:
+                    @pl.when((st[NSRC] & 127) != 0)
+                    def _():
+                        flush_com_row()
 
                 burst()
                 drain_pk()
@@ -918,6 +1050,7 @@ def fused_group_forces(
     debug_mode: str = "full",
     ftl=None,
     df: bool = False,
+    far_vector: bool = True,
 ):
     """Run the fused kernel on planar (G,C,B) groups: planar
     accelerations + (G,8) stats.  C = 4 f32 rows [x; y; z; gm] by
@@ -964,6 +1097,7 @@ def fused_group_forces(
         df=bool(df),
         interpret_gather=bool(interpret),
         debug_mode=debug_mode,
+        far_vector=bool(far_vector),
     )
     # df-only scratch collapses to minimal tiles in f32 mode (unused refs
     # cost their allocation, nothing else)
@@ -1046,6 +1180,7 @@ def _fused_pallas_call(
             pltpu.VMEM((128, 8), jnp.int32),
             pltpu.VMEM((1, 128), jnp.int32),
             pltpu.VMEM((1, 128), jnp.int32),
+            pltpu.VMEM((8, c_ch, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((128,)),
             pltpu.SemaphoreType.DMA((128,)),
             pltpu.SemaphoreType.DMA((128,)),
@@ -1105,6 +1240,7 @@ def auto_ld(n: int) -> int:
         "interpret",
         "return_stats",
         "debug_mode",
+        "far_vector",
     ),
 )
 def barneshut_fused(
@@ -1123,6 +1259,7 @@ def barneshut_fused(
     interpret: bool = False,
     return_stats: bool = False,
     debug_mode: str = "full",
+    far_vector: bool = True,
     border=None,
 ):
     """Barnes-Hut accelerations through the fused Pallas kernel (ForceFn
@@ -1205,6 +1342,7 @@ def barneshut_fused(
         frontier_cap=frontier_cap or FRONTIER_CAP,
         interpret=interpret,
         debug_mode=debug_mode,
+        far_vector=far_vector,
     )
 
     # ONE composed scatter group-layout -> original order: the round-2

@@ -131,20 +131,44 @@ def _ft_from_state(pg, nid, ld: int):
     m = pg.shape[0] * pg.shape[2]
     gm_f = pg[:, 3, :].reshape(m)
     nid_f = nid.reshape(m)
-    vals = jnp.stack(
-        [
+    if m > 20_000_000:
+        # The combined (M, 4) operand materializes with the T(8,128)
+        # tiled layout — minor dim 4 pads to 128 lanes, 32x the logical
+        # bytes (68 GB at 100M slots: the round-5 OOM).  Four dense 1-D
+        # passes cost ~1.5x the rebuild time (tools/probe_ft_rebuild.py)
+        # but stay linear in M; at huge N the rebuild is noise next to
+        # the multi-second chunked evals, so trade time for memory.
+        chans = [
             gm_f * pg[:, 0, :].reshape(m),
             gm_f * pg[:, 1, :].reshape(m),
             gm_f * pg[:, 2, :].reshape(m),
             gm_f,
-        ],
-        axis=1,
-    )
-    s = jax.ops.segment_sum(
-        vals, nid_f, num_segments=k_terminal + 1, indices_are_sorted=True
-    )[:k_terminal]
-    w = s[:, :3]
-    gm = s[:, 3]
+        ]
+        outs = [
+            jax.ops.segment_sum(
+                ch, nid_f, num_segments=k_terminal + 1,
+                indices_are_sorted=True,
+            )[:k_terminal]
+            for ch in chans
+        ]
+        w = jnp.stack(outs[:3], axis=1)
+        gm = outs[3]
+    else:
+        vals = jnp.stack(
+            [
+                gm_f * pg[:, 0, :].reshape(m),
+                gm_f * pg[:, 1, :].reshape(m),
+                gm_f * pg[:, 2, :].reshape(m),
+                gm_f,
+            ],
+            axis=1,
+        )
+        s = jax.ops.segment_sum(
+            vals, nid_f, num_segments=k_terminal + 1,
+            indices_are_sorted=True,
+        )[:k_terminal]
+        w = s[:, :3]
+        gm = s[:, 3]
     ws, gms = [w], [gm]
     for _ in range(ld):
         ws.append(ws[-1].reshape(-1, 8, 3).sum(axis=1))

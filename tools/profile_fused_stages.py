@@ -52,10 +52,12 @@ def main() -> None:
     if "--split-stage" in sys.argv:
         # price the far-COM and near-range staging branches separately
         modes = ("pops", "stagefar", "stagenear", "stage")
+    far_vector = "--scalar-far" not in sys.argv  # A/B: round-5 far staging
     for mode in modes:
         fn = jax.jit(
             functools.partial(
-                bf.barneshut_fused, interpret=interpret, debug_mode=mode
+                bf.barneshut_fused, interpret=interpret, debug_mode=mode,
+                far_vector=far_vector,
             )
         )
         acc = fn(pos, mass)
